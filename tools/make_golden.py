@@ -1,0 +1,249 @@
+#!/usr/bin/env python
+"""Golden-oracle generator (M0).
+
+Builds a deterministic synthetic VNTR dataset, then runs the *reference*
+danbing-tk binaries (built out-of-tree, default /tmp/refbuild/bin) to freeze
+golden outputs for bit-exactness tests:
+
+  tests/golden/
+    hap{0..3}.fa            synthetic per-locus TR+flank fastas (4 haplotypes)
+    pan.{tr,fl,graph}.kmers fa2kmers -on output (human readable)
+    pan.tre.kmers           TR-region (k+1)-mers (synthesized; input-only fmt)
+    pan.kmers.dbi           ktools serialize output (binary index)
+    pan.{fl,tre}.kdb        binary kset DBs
+    reads.fa                interleaved PE reads (shuffled pairing, errors, Ns)
+    reads.sim.fa            same reads, simmode-2 titles (>chr:beg-end:locus)
+    out.on.tr.kmers         align -on golden genotype (readable)
+    out.kam                 align default kam output (stdout)
+    out.trkmc.ar            align -o binary genotype
+    out.tr.summary.txt      per-locus nmapread/kmc
+    out.bub.kmdb            align -bu bubbles (binary)
+    out.sim.kam             align -s 2 kam (src locus scored)
+
+Scenario-1 flow per reference README.md:66-75; align behavior per
+src/aQueryFasta_thread.cpp (HEAD: asgn counting mode, threading disabled).
+
+Reference binaries are ONLY executed, never copied; golden outputs are test
+fixtures.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from danbing_tk_tpu.ops import kmers_np as K
+
+REFBIN = os.environ.get("DTK_REF_BIN", "/tmp/refbuild/bin")
+OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
+KSIZE = 21
+FS = 700  # flank size (reference default build uses 700bp)
+NLOCI = 24
+NHAP = 4
+READLEN = 150
+FRAGLEN = 400
+COV = 30
+
+BASES = "ACGT"
+
+
+def rand_seq(rng, n):
+    return "".join(BASES[i] for i in rng.integers(0, 4, n))
+
+
+def mutate(rng, seq, sub=0.002, ind=0.0005):
+    out = []
+    for c in seq:
+        r = rng.random()
+        if r < sub:
+            out.append(BASES[rng.integers(0, 4)])
+        elif r < sub + ind:
+            if rng.random() < 0.5:
+                continue  # deletion
+            out.append(c)
+            out.append(BASES[rng.integers(0, 4)])
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def make_dataset(rng):
+    """Returns haps[h][locus] = full sequence (LF + TR + RF)."""
+    haps = [[None] * NLOCI for _ in range(NHAP)]
+    for li in range(NLOCI):
+        mlen = int(rng.integers(3, 16))
+        motif = rand_seq(rng, mlen)
+        lf = rand_seq(rng, FS)
+        rf = rand_seq(rng, FS)
+        base_n = int(rng.integers(20, 80))
+        for h in range(NHAP):
+            n = base_n + int(rng.integers(-5, 6))
+            tr = mutate(rng, motif * n, sub=0.01, ind=0.002)
+            # keep TR length sane (>= k)
+            if len(tr) < KSIZE + 2:
+                tr = motif * 8
+            haps[h][li] = lf + tr + rf
+    return haps
+
+
+def write_fasta(path, names, seqs, width=0):
+    with open(path, "w") as f:
+        for nm, s in zip(names, seqs):
+            f.write(f">{nm}\n")
+            if width:
+                for i in range(0, len(s), width):
+                    f.write(s[i : i + width] + "\n")
+            else:
+                f.write(s + "\n")
+
+
+def make_tre(haps):
+    """Per-locus canonical (k+1)-mer sets over the TR region (window matching
+    fa2kmers' TR window semantics with k+1: positions FS .. len-FS-k-1)."""
+    tre = [set() for _ in range(NLOCI)]
+    for h in range(NHAP):
+        for li in range(NLOCI):
+            seq = haps[h][li]
+            codes = K.encode_bases(seq)
+            kms = K.seq_to_kmers(codes, KSIZE + 1, canonical=True)
+            lo, hi = FS, len(codes) - FS - (KSIZE + 1) + 1
+            for km in kms[lo:hi]:
+                if km != K.NAN64:
+                    tre[li].add(int(km))
+    return tre
+
+
+def sim_reads(rng, haps):
+    """Simulate ~COVx error-free-ish PE reads over each locus region.
+
+    Returns list of (title_plain, title_sim, seq1, seq2) where seq2 is the
+    reverse complement mate (as samtools fasta -n would emit both mates in
+    original orientation; we emit mate2 as RC of the fragment end, matching
+    real FR libraries).
+    """
+    pairs = []
+    rid = 0
+    for li in range(NLOCI):
+        for h in range(NHAP):
+            seq = haps[h][li]
+            n = len(seq)
+            # restrict sampling to cover TR +/- flanks fully
+            npairs = max(4, int(COV * n / (2 * READLEN) / NHAP))
+            for _ in range(npairs):
+                beg = int(rng.integers(0, n - FRAGLEN + 1))
+                frag = seq[beg : beg + FRAGLEN]
+                r1 = frag[:READLEN]
+                r2 = K._revcomp_str(frag[-READLEN:])
+                # light error injection on a subset
+                if rng.random() < 0.3:
+                    r1 = mutate(rng, r1, sub=0.01, ind=0)
+                if rng.random() < 0.3:
+                    r2 = mutate(rng, r2, sub=0.01, ind=0)
+                # occasional N
+                if rng.random() < 0.05:
+                    p = int(rng.integers(0, len(r1)))
+                    r1 = r1[:p] + "N" + r1[p + 1 :]
+                t_plain = f"read{rid}"
+                t_sim = f"ctg{li}_{h}:{beg}-{beg + FRAGLEN}:{li}"
+                pairs.append((t_plain, t_sim, r1, r2))
+                rid += 1
+    # background reads not matching any locus
+    for i in range(200):
+        r1 = rand_seq(rng, READLEN)
+        r2 = rand_seq(rng, READLEN)
+        pairs.append((f"bg{i}", f"bg{i}:0-400:.", r1, r2))
+    return pairs
+
+
+def write_reads(path, pairs, sim, rng):
+    """Interleaved-ish PE fasta with both mates sharing a title; mate order
+    shuffled within a small window to exercise the pairing hashmap."""
+    recs = []
+    for tp, ts, r1, r2 in pairs:
+        t = ts if sim else tp
+        recs.append((f"{t}/1", r1))
+        recs.append((f"{t}/2", r2))
+    # local shuffle with window 8 (keeps pairing map small but nontrivial)
+    idx = np.arange(len(recs))
+    for i in range(0, len(recs) - 8, 8):
+        rng.shuffle(idx[i : i + 8])
+    with open(path, "w") as f:
+        for i in idx:
+            t, s = recs[i]
+            f.write(f">{t}\n{s}\n")
+
+
+def run(cmd, **kw):
+    print("+", " ".join(cmd), file=sys.stderr)
+    return subprocess.run(cmd, check=True, **kw)
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    rng = np.random.default_rng(42)
+    haps = make_dataset(rng)
+
+    hapfiles = []
+    for h in range(NHAP):
+        p = os.path.join(OUT, f"hap{h}.fa")
+        write_fasta(p, [f"locus{li}" for li in range(NLOCI)], haps[h])
+        hapfiles.append(p)
+
+    # RPGG build (Scenario 1): fa2kmers -g -on + synthesized tre + serialize
+    run(
+        [f"{REFBIN}/fa2kmers", "-g", "-k", str(KSIZE), "-fsi", str(FS),
+         "-fso", str(FS), "-on", os.path.join(OUT, "pan"), "-fa",
+         str(NHAP)] + hapfiles
+    )
+    tre = make_tre(haps)
+    with open(os.path.join(OUT, "pan.tre.kmers"), "w") as f:
+        for li in range(NLOCI):
+            f.write(f">{li}\n")
+            for km in sorted(tre[li]):
+                f.write(f"{km}\n")
+    run([f"{REFBIN}/ktools", "serialize", os.path.join(OUT, "pan")])
+
+    # reads
+    pairs = sim_reads(rng, haps)
+    rng2 = np.random.default_rng(7)
+    write_reads(os.path.join(OUT, "reads.fa"), pairs, sim=False, rng=rng2)
+    rng2 = np.random.default_rng(7)
+    write_reads(os.path.join(OUT, "reads.sim.fa"), pairs, sim=True, rng=rng2)
+
+    pan = os.path.join(OUT, "pan")
+    env = dict(os.environ)
+
+    def align(extra, out_pref, kam_name, reads="reads.fa"):
+        with open(os.path.join(OUT, kam_name), "w") as kam:
+            run(
+                [f"{REFBIN}/danbing-tk", "-k", str(KSIZE), "-qs", pan,
+                 "-fa", os.path.join(OUT, reads), "-p", "1", "-cth", "20",
+                 "-kf", "4", "1"] + extra + [out_pref],
+                stdout=kam, env=env,
+            )
+
+    align(["-on"], os.path.join(OUT, "out.on"), "out.kam")
+    align(["-bu", "-o"], os.path.join(OUT, "out"), "out.kam2")
+    align(["-s", "2", "-o"], os.path.join(OUT, "out.sim"), "out.sim.kam",
+          reads="reads.sim.fa")
+
+    # sanity: the two kam outputs (plain vs -on run) must be identical
+    a = open(os.path.join(OUT, "out.kam"), "rb").read()
+    b = open(os.path.join(OUT, "out.kam2"), "rb").read()
+    assert a == b, "kam outputs differ between runs"
+    os.remove(os.path.join(OUT, "out.kam2"))
+    # drop empty placeholder files align creates via -o parse
+    for f in ["out.on.trkmc.ar", "out.sim.trkmc.ar"]:
+        p = os.path.join(OUT, f)
+        if os.path.exists(p) and os.path.getsize(p) == 0:
+            os.remove(p)
+    print("golden fixtures written to", OUT, file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
