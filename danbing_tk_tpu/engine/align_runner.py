@@ -1,0 +1,178 @@
+"""Device-aligner runner: streams read batches through the jitted device
+step, routes referee-flagged pairs through the host oracle, and assembles
+bit-exact outputs (.kam / .tr.kmers / .trkmc.ar / .tr.summary.txt / .bub).
+
+The device accumulates TR-k-mer counts in a flat u32 array laid out in
+.trkmc.ar order; referee'd pairs are masked out on device and recomputed by
+host_align.process_pair against the same RPGG (their counts live in the
+RPGG's dicts), so the final genotype is device_counts + host_counts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+
+from ..io import binary as bio
+from ..ops import kmers_np as K
+from ..utils.stdumap import StdUmapOrder
+from . import device_align as da
+from .host_align import (AlignConfig, HostAligner, RPGG, annot2str,
+                         iter_fasta_pairs, _kam_row, ReadAsgn)
+
+
+class DeviceAlignRunner:
+    def __init__(self, rpgg: RPGG, cfg: AlignConfig, batch_pairs: int = 4096,
+                 max_read_len: int = 256, expand_cap: int = 512):
+        assert not cfg.bait and not cfg.qc, "bait/qc: host path only (v1)"
+        self.rpgg = rpgg
+        self.cfg = cfg
+        self.P = batch_pairs
+        self.L = max_read_len
+        self.drp = da.DeviceRPGG.build(rpgg, with_tre=cfg.output_bubbles)
+        self.step = da.make_step(
+            self.drp, cfg, self.P, self.L, expand_cap=expand_cap,
+            with_annot=cfg.okam, with_bubbles=cfg.output_bubbles)
+        self.state = da.init_state(self.drp)
+        # host oracle handles referee'd pairs (counts go into rpgg dicts)
+        self.host = HostAligner(rpgg, cfg)
+        self.kam_rows: list[str] = []
+        self.n_referee = 0
+
+    # -- batching --
+
+    def run_file(self, path: str):
+        cfg = self.cfg
+        min_read_size = cfg.cth + cfg.ksize - 1
+        for batch in iter_fasta_pairs(
+            path, min_read_size, self.rpgg.nloci, cfg.simmode,
+            cfg.reads_per_batch // 2,
+        ):
+            for i in range(0, len(batch), self.P):
+                self._run_chunk(batch[i : i + self.P])
+            self.host.flush_batch()
+
+    def _run_chunk(self, pairs):
+        n = len(pairs)
+        codes = np.full((2 * self.P, self.L), 255, dtype=np.uint8)
+        rlen = np.zeros(2 * self.P, dtype=np.int32)
+        live = np.zeros(self.P, dtype=bool)
+        for i, (title, s1, s2, src) in enumerate(pairs):
+            c1 = K.encode_bases(s1)[: self.L]
+            c2 = K.encode_bases(s2)[: self.L]
+            codes[2 * i, : len(c1)] = c1
+            codes[2 * i + 1, : len(c2)] = c2
+            rlen[2 * i] = len(c1)
+            rlen[2 * i + 1] = len(c2)
+            live[i] = True
+        self.state, out = self.step(self.state, codes, rlen, live)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        self._post_chunk(pairs, out, n)
+
+    def _post_chunk(self, pairs, out, n):
+        cfg = self.cfg
+        nloci = self.rpgg.nloci
+        referee = out["referee"]
+        for i, (title, s1, s2, src) in enumerate(pairs):
+            if referee[i]:
+                self.n_referee += 1
+                nrow0 = len(self.host.kam_rows)
+                self.host.process_pair(title, s1, s2, src)
+                if len(self.host.kam_rows) > nrow0:
+                    self.kam_rows.append(self.host.kam_rows.pop())
+                continue
+            if not out["nonshort"][i] or out["sub_drop"][i]:
+                continue
+            if not out["pair_alive"][i]:
+                continue
+            dest = int(out["dest"][i]) if out["counted"][i] else nloci
+            if not out["vote_pass"][i]:
+                dest = nloci
+            dst0 = int(out["dst0"][i])
+            # bubbles: recompute novel-edge values host-side (rare)
+            if cfg.output_bubbles and out["counted"][i]:
+                for m, seq in ((0, s1), (1, s2)):
+                    ridx = 2 * i + m
+                    nov = out["novel_edge"][ridx]
+                    if nov.any():
+                        self._add_bubbles(dest, seq, nov)
+                    elif out["rm"][ridx] == 0:
+                        # still need deterministic no-op (no novel edges)
+                        pass
+            if cfg.okam and ((src != nloci and src != -1) or dest != nloci):
+                self.kam_rows.append(
+                    self._kam_from_device(title, src, dest, dst0, out, i,
+                                          s1, s2))
+
+    def _add_bubbles(self, dest, seq, novel_mask):
+        _, edges = K.seq_to_kmers_and_edges(
+            K.encode_bases(seq), self.cfg.ksize)
+        ent = self.host._bub_batch.get(dest)
+        if ent is None:
+            ent = (StdUmapOrder(), {})
+            self.host._bub_batch[dest] = ent
+        order, counts = ent
+        for pos in np.where(novel_mask[: len(edges)])[0]:
+            e = int(edges[pos])
+            order.insert(e)
+            counts[e] = counts.get(e, 0) + 1
+
+    def _kam_from_device(self, title, src, dest, dst0, out, i, s1, s2):
+        # assignTRkmc fields are populated whenever the pair passed the vote
+        # (even if both mates were then af-removed, dest -> nloci); pairs
+        # that failed the vote keep struct defaults (reference :2056-2062)
+        ran_asgn = bool(out["vote_pass"][i])
+        rs = []
+        for m in (0, 1):
+            ridx = 2 * i + m
+            r = ReadAsgn()
+            r.kf = int(out["kf"][ridx])
+            r.hf = int(out["hf"][ridx])
+            r.rm = int(out["rm"][ridx])
+            r.af = int(out["af"][ridx])
+            if ran_asgn:
+                r.nt = int(out["nt"][ridx])
+                r.bs = int(out["bs"][ridx])
+                r.ti = int(out["ti"][ridx])
+                r.si = int(out["si"][ridx])
+                r.ei = int(out["ei"][ridx])
+                nk = int(out["nk"][ridx])
+                r.as_ = out["ann"][ridx][:nk].tolist()
+            rs.append(r)
+        return _kam_row(title, src, dest, dst0, rs[0], rs[1], s1, s2,
+                        self.cfg.is_fastq)
+
+    # -- outputs --
+
+    def flat_counts(self) -> np.ndarray:
+        dev = np.asarray(self.state["counts"])[:-1].astype(np.uint64)
+        return dev + self.host.flat_counts()
+
+    def write_trkmc_ar(self, path):
+        bio.write_karray(path, self.flat_counts())
+
+    def write_tr_kmers(self, path):
+        flat = self.flat_counts()
+        off = self.drp.locus_offsets
+        with open(path, "w") as f:
+            for i in range(self.rpgg.nloci):
+                f.write(f">{i}\n")
+                cnts = flat[off[i] : off[i + 1]]
+                for km, c in zip(self.rpgg.tr_orders[i], cnts):
+                    f.write(f"{km}\t{c}\n")
+
+    def write_summary(self, path):
+        nmap = np.asarray(self.state["nmapread"])[:-1] + self.host.nmapread
+        kmc = np.asarray(self.state["kmc"])[:-1].astype(np.uint64) + \
+            self.host.kmc
+        with open(path, "w") as f:
+            for i in range(self.rpgg.nloci):
+                f.write(f"{nmap[i]}\t{kmc[i]}\n")
+
+    def write_kam(self, path):
+        with open(path, "w") as f:
+            f.writelines(self.kam_rows)
+
+    def write_bubbles(self, path, threshold: int = 5):
+        self.host.write_bubbles(path, threshold)

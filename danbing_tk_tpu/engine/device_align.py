@@ -1,0 +1,461 @@
+"""TPU device aligner: the asgn-mode genotyping pipeline as fixed-shape
+vectorized JAX, with a host referee for the rare pairs whose outcome depends
+on the reference's early-stop scan order.
+
+Pipeline per batch (all jitted, shape-static):
+
+  pack(2P, L) u8 codes
+   -> extract canonical k-mers + (k+1)-edges     (ops/kmers_jax)
+   -> kmerDBi probe                              (index/device_table)
+   -> subfilter / kfilter                        (reductions)
+   -> locus voting: per-pair dedupe (lax.sort) -> CSR locus expansion
+      -> per-(pair,locus) segment sums -> top/tie detection
+   -> TR/flank annotation probe ((kmer,dst0) composite table)
+   -> vectorized assignTRkmc state machine (associative scans)
+   -> scatter-add TR k-mer counts / per-locus aggregates
+
+Decision equivalence with the reference (aQueryFasta_thread.cpp:364-453):
+full-count voting yields the same destLocus and pass/fail as the
+early-stopped scan except when (a) two loci tie for the top vote, or
+(b) the pair passes only via test2 (fc+rc >= 2*cth) -- the truncated
+counts could fail it.  Such pairs (plus expansion-capacity overflows) are
+masked out of all device accumulation and recomputed exactly by the host
+oracle (engine/host_align.process_pair).  Everything else is provably
+identical, so end-to-end outputs stay bit-exact.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..index import device_table as dt
+from ..ops.kmers_jax import EMPTY, extract_kmers_edges
+from .host_align import AlignConfig, RPGG
+
+NAN32 = np.uint32(0xFFFFFFFF)
+
+
+# ---------------------------------------------------------------------------
+# Host-side table construction from the RPGG
+# ---------------------------------------------------------------------------
+
+ANN_FL = 1
+ANN_TR = 2
+
+
+@dataclass
+class DeviceRPGG:
+    """Device-resident RPGG model: flat tables + metadata."""
+    nloci: int
+    dbi_tab: dt.OATable
+    vv: np.ndarray
+    trfl_tab: dt.OATable          # (kmer, locus) -> (slot<<2)|ANN  or ANN_FL
+    tre_tab: dt.OATable | None    # (edge, locus) -> 1
+    locus_offsets: np.ndarray     # slot base per locus (trkmc flatten order)
+    nslots: int
+
+    @classmethod
+    def build(cls, rpgg: RPGG, with_tre: bool = True) -> "DeviceRPGG":
+        keys = np.fromiter(rpgg.dbi.keys(), dtype=np.uint64,
+                           count=len(rpgg.dbi))
+        vals = np.fromiter(rpgg.dbi.values(), dtype=np.uint32,
+                           count=len(rpgg.dbi))
+        dbi_tab = dt.build_table(keys, vals)
+
+        # trfl composite table; TR slot ids follow the .trkmc.ar flatten
+        # order (per-locus insertion order of pan.tr.kmers)
+        tk, tl, tv = [], [], []
+        offsets = np.zeros(rpgg.nloci + 1, dtype=np.int64)
+        slot = 0
+        for li in range(rpgg.nloci):
+            offsets[li] = slot
+            fl = rpgg.fl_sets[li]
+            for km in rpgg.tr_orders[li]:
+                tk.append(km)
+                tl.append(li)
+                tv.append(ANN_FL if km in fl else ((slot << 2) | ANN_TR))
+                slot += 1
+            for km in fl:
+                if km not in rpgg.tr_counts[li]:
+                    tk.append(km)
+                    tl.append(li)
+                    tv.append(ANN_FL)
+        offsets[rpgg.nloci] = slot
+        trfl_tab = dt.build_table(
+            np.array(tk, dtype=np.uint64), np.array(tv, dtype=np.uint32),
+            np.array(tl, dtype=np.uint32))
+
+        tre_tab = None
+        if with_tre:
+            ek, el = [], []
+            for li in range(rpgg.nloci):
+                for e in rpgg.tre_sets[li]:
+                    ek.append(e)
+                    el.append(li)
+            if ek:
+                tre_tab = dt.build_table(
+                    np.array(ek, dtype=np.uint64),
+                    np.ones(len(ek), dtype=np.uint32),
+                    np.array(el, dtype=np.uint32))
+        vv = rpgg.vv.astype(np.uint32)
+        if len(vv) == 0:
+            vv = np.zeros(1, dtype=np.uint32)  # keep gathers well-formed
+        return cls(rpgg.nloci, dbi_tab, vv, trfl_tab,
+                   tre_tab, offsets, slot)
+
+
+# ---------------------------------------------------------------------------
+# The jitted batch step
+# ---------------------------------------------------------------------------
+
+def _seg_last_nonzero_excl(x):
+    """y[i] = last nonzero x[j] for j < i (0 if none), along axis -1."""
+    shifted = jnp.concatenate(
+        [jnp.zeros_like(x[..., :1]), x[..., :-1]], axis=-1)
+    return jax.lax.associative_scan(
+        lambda a, b: jnp.where(b > 0, b, a), shifted, axis=-1)
+
+
+def _cummax(x):
+    return jax.lax.associative_scan(jnp.maximum, x, axis=-1)
+
+
+def _first_true_idx(m):
+    """Index of first True along axis -1, or width if none."""
+    w = m.shape[-1]
+    idx = jnp.where(m, jnp.arange(w, dtype=jnp.int32), w)
+    return jnp.min(idx, axis=-1)
+
+
+def _take_rows(a, idx):
+    """a: (..., W); idx: (...) -> a[..., idx] with clamping."""
+    idxc = jnp.clip(idx, 0, a.shape[-1] - 1)
+    return jnp.take_along_axis(a, idxc[..., None], axis=-1)[..., 0]
+
+
+def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
+              expand_cap: int = 512, with_annot: bool = True,
+              with_bubbles: bool = False):
+    """Builds the jitted per-batch function.
+
+    Returns step(state, codes(2P,L) u8, rlen(2P,) i32, live(P,) bool)
+      -> (state, outputs dict)
+    state: dict of device accumulators (counts, nmapread, kmc, stats).
+    """
+    k = cfg.ksize
+    cth = np.int32(cfg.cth)
+    NKW = L - k + 1
+    NE = L - k
+    E = expand_cap
+    nloci = drp.nloci
+
+    t_dbi = tuple(jnp.asarray(x) for x in
+                  (drp.dbi_tab.key_lo, drp.dbi_tab.key_hi, drp.dbi_tab.val))
+    vv = jnp.asarray(drp.vv)
+    t_trfl = tuple(jnp.asarray(x) for x in
+                   (drp.trfl_tab.key_lo, drp.trfl_tab.key_hi,
+                    drp.trfl_tab.locus, drp.trfl_tab.val))
+    t_tre = None
+    if with_bubbles and drp.tre_tab is not None:
+        t_tre = tuple(jnp.asarray(x) for x in
+                      (drp.tre_tab.key_lo, drp.tre_tab.key_hi,
+                       drp.tre_tab.locus, drp.tre_tab.val))
+
+    def step(state, codes, rlen, live):
+        ex = extract_kmers_edges(codes, rlen, k)
+        klo, khi, kvalid = ex["klo"], ex["khi"], ex["kvalid"]
+        nk = ex["nk"]                      # (2P,)
+        any_valid = ex["any_valid"]
+
+        found, val = dt.lookup_jax(
+            t_dbi[0], t_dbi[1], t_dbi[2],
+            klo.reshape(-1), khi.reshape(-1), drp.dbi_tab.max_probes)
+        found = found.reshape(2 * P, NKW) & kvalid
+        val = val.reshape(2 * P, NKW)
+
+        pair_nonshort = (any_valid.reshape(P, 2).all(axis=1)) & live
+
+        # ---- subfilter ----
+        nf, nmf = cfg.n_filter, cfg.nm_filter
+        if nf and nmf:
+            S = nk // (nf - 1)
+            hits = jnp.zeros((2 * P,), jnp.int32)
+            for i in range(nf):
+                idx = jnp.where(jnp.int32(i) != nf - 1, i * S, nk - 1)
+                hits = hits + _take_rows(found, idx).astype(jnp.int32)
+            sub_pass = (hits >= nmf).reshape(P, 2).all(axis=1)
+        else:
+            sub_pass = jnp.ones((P,), bool)
+        pair_sub = pair_nonshort & sub_pass
+
+        # ---- kfilter ----
+        nfound = found.sum(axis=-1).astype(jnp.int32)
+        kf = (nfound < cth).astype(jnp.int32)         # (2P,)
+        kf_p = kf.reshape(P, 2)
+        pair_kf = pair_sub & ~(kf_p.all(axis=1))
+
+        # ---- voting ----
+        # merge mates; exclude kf-failed mates' entries
+        use = found & (kf.reshape(2 * P, 1) == 0)
+        use = use & pair_kf.repeat(2)[:, None]
+        m_lo = jnp.where(use, klo, EMPTY).reshape(P, 2 * NKW)
+        m_hi = jnp.where(use, khi, EMPTY).reshape(P, 2 * NKW)
+        m_val = val.reshape(P, 2 * NKW)
+        mate = jnp.tile(
+            jnp.repeat(jnp.arange(2, dtype=jnp.int32), NKW)[None, :], (P, 1))
+        m_use = use.reshape(P, 2 * NKW)
+
+        s_hi, s_lo, s_val, s_mate, s_use = jax.lax.sort(
+            (m_hi, m_lo, m_val, mate, m_use.astype(jnp.int32)),
+            dimension=-1, num_keys=2)
+        s_use = s_use.astype(bool)
+        # invalid entries (EMPTY keys) sort to the end
+        newrun = s_use & jnp.concatenate(
+            [jnp.ones((P, 1), bool),
+             (s_hi[:, 1:] != s_hi[:, :-1]) | (s_lo[:, 1:] != s_lo[:, :-1])],
+            axis=1)
+        run_id = jnp.cumsum(newrun.astype(jnp.int32), axis=-1) - 1  # per row
+        run_id = jnp.where(s_use, run_id, 2 * NKW - 1)
+        rows = jnp.arange(P, dtype=jnp.int32)[:, None].repeat(2 * NKW, 1)
+        W = 2 * NKW
+        fcnt = jnp.zeros((P, W), jnp.int32).at[rows, run_id].add(
+            jnp.where(s_use & (s_mate == 0), 1, 0))
+        rcnt = jnp.zeros((P, W), jnp.int32).at[rows, run_id].add(
+            jnp.where(s_use & (s_mate == 1), 1, 0))
+        rval = jnp.zeros((P, W), jnp.uint32).at[rows, run_id].max(
+            jnp.where(newrun, s_val, 0))
+        nruns = jnp.max(jnp.where(s_use, run_id + 1, 0), axis=-1)  # (P,)
+
+        run_valid = jnp.arange(W, dtype=jnp.int32)[None, :] < nruns[:, None]
+        odd = (rval & 1) == 1
+        nmapped = jnp.where(
+            odd, vv[jnp.clip((rval >> 1).astype(jnp.int32), 0,
+                             vv.shape[0] - 1)], 1)
+        nmapped = jnp.where(run_valid, nmapped, 0).astype(jnp.int32)
+
+        # CSR expansion of loci lists into E slots per pair
+        csum = jnp.cumsum(nmapped, axis=-1)
+        total = csum[:, -1]
+        overflow = total > E
+        starts = csum - nmapped
+        eidx = jnp.arange(E, dtype=jnp.int32)[None, :]
+        erun = jax.vmap(
+            lambda c, q: jnp.searchsorted(c, q, side="right"))(
+                csum, eidx.repeat(P, 0))
+        erun = jnp.clip(erun, 0, W - 1)
+        evalid_exp = eidx < jnp.minimum(total, E)[:, None]
+        e_rval = jnp.take_along_axis(rval, erun, axis=-1)
+        e_off = eidx - jnp.take_along_axis(starts, erun, axis=-1)
+        e_odd = (e_rval & 1) == 1
+        vv_pos = jnp.clip((e_rval >> 1).astype(jnp.int32) + 1 + e_off, 0,
+                          vv.shape[0] - 1)
+        e_locus = jnp.where(
+            e_odd, vv[vv_pos], (e_rval >> 1).astype(jnp.uint32))
+        e_locus = jnp.where(evalid_exp, e_locus, NAN32)
+        e_f = jnp.where(evalid_exp,
+                        jnp.take_along_axis(fcnt, erun, axis=-1), 0)
+        e_r = jnp.where(evalid_exp,
+                        jnp.take_along_axis(rcnt, erun, axis=-1), 0)
+
+        # per-(pair, locus) totals via in-row sort + segment sums
+        g_loc, g_f, g_r = jax.lax.sort(
+            (e_locus, e_f, e_r), dimension=-1, num_keys=1)
+        g_valid = g_loc != NAN32
+        segnew = g_valid & jnp.concatenate(
+            [jnp.ones((P, 1), bool), g_loc[:, 1:] != g_loc[:, :-1]], axis=1)
+        seg_id = jnp.cumsum(segnew.astype(jnp.int32), axis=-1) - 1
+        seg_id = jnp.where(g_valid, seg_id, E - 1)
+        rowsE = jnp.arange(P, dtype=jnp.int32)[:, None].repeat(E, 1)
+        seg_f = jnp.zeros((P, E), jnp.int32).at[rowsE, seg_id].add(
+            jnp.where(g_valid, g_f, 0))
+        seg_r = jnp.zeros((P, E), jnp.int32).at[rowsE, seg_id].add(
+            jnp.where(g_valid, g_r, 0))
+        seg_loc = jnp.zeros((P, E), jnp.uint32).at[rowsE, seg_id].max(
+            jnp.where(segnew, g_loc, 0))
+        nsegs = jnp.max(jnp.where(g_valid, seg_id + 1, 0), axis=-1)
+        seg_valid = jnp.arange(E, dtype=jnp.int32)[None, :] < nsegs[:, None]
+
+        seg_tot = jnp.where(seg_valid, seg_f + seg_r, -1)
+        top_tot = jnp.max(seg_tot, axis=-1)
+        is_top = seg_tot == top_tot[:, None]
+        n_top = jnp.sum(is_top & seg_valid, axis=-1)
+        top_seg = _first_true_idx(is_top & seg_valid)
+        top_loc = _take_rows(seg_loc, top_seg)
+        top_f = _take_rows(seg_f, top_seg)
+        top_r = _take_rows(seg_r, top_seg)
+        has_entries = nsegs > 0
+
+        test1 = (top_f >= cth) & (top_r >= cth)
+        test2 = (top_f + top_r) >= 2 * cth
+        vote_pass = (test1 | test2) & has_entries & pair_kf
+        tie = (n_top > 1) & has_entries
+        referee = pair_kf & (tie | overflow | (~test1 & test2))
+
+        dst0 = jnp.where(has_entries, top_loc, NAN32)
+        hf = (pair_kf & ~vote_pass & ~referee)[:, None].repeat(2, 1)
+        hf = (hf.reshape(-1) & (kf == 0)).astype(jnp.int32)  # non-kf'd mates
+        # pairs counted on device: passed vote, not referee'd
+        dev_pair = vote_pass & ~referee
+
+        # ---- TR/flank annotation vs dst0 ----
+        dst0_read = dst0[:, None].repeat(2, 1).reshape(-1)  # (2P,)
+        q_loc = dst0_read[:, None].repeat(NKW, 1).reshape(-1)
+        afound, aval = dt.lookup_jax(
+            t_trfl[0], t_trfl[1], t_trfl[3],
+            klo.reshape(-1), khi.reshape(-1), drp.trfl_tab.max_probes,
+            t_loc=t_trfl[2], q_loc=q_loc)
+        afound = afound.reshape(2 * P, NKW) & kvalid
+        afound = afound & dev_pair.repeat(2)[:, None]
+        aval = aval.reshape(2 * P, NKW)
+        ann = jnp.where(
+            afound,
+            jnp.where((aval & 3) == ANN_TR, 2, 1).astype(jnp.int32),
+            0)
+        # flank entries store exactly ANN_FL
+        ann = jnp.where(afound & (aval == ANN_FL), 1, ann)
+        slot = (aval >> 2).astype(jnp.int32)
+
+        # ---- assignTRkmc state machine (vectorized) ----
+        lk = _seg_last_nonzero_excl(ann)              # last known before i
+        known = ann > 0
+        trans = known & (lk > 0) & (ann != lk)
+        cumtrans = jnp.cumsum(trans.astype(jnp.int32), axis=-1)
+        nt_total = cumtrans[:, -1]
+        ti1 = _first_true_idx(trans)                  # width if none
+        ti2 = _first_true_idx(trans & (cumtrans == 2))
+        fk = _first_true_idx(known)
+        bs = jnp.where(fk < NKW, _take_rows(ann, fk), 0)
+        ntr = jnp.sum(ann == 2, axis=-1)
+
+        idx_known = jnp.where(known, jnp.arange(NKW, dtype=jnp.int32), -1)
+        lki = _cummax(idx_known)                      # last known idx <= i
+        prev1 = _take_rows(ann, ti1 - 1)
+        adj1 = (nt_total >= 1) & (prev1 == 0)
+        p1 = _take_rows(lki, ti1 - 1) + 1
+        si1 = jnp.where(adj1, p1, -1)
+        ei1 = jnp.where(adj1, ti1, -1)
+        prev2 = _take_rows(ann, ti2 - 1)
+        adj2 = (nt_total >= 2) & (prev2 == 0)
+        p2 = _take_rows(lki, ti2 - 1) + 1
+        si2 = jnp.where(adj2, p2, -1)
+        ei2 = jnp.where(adj2, ti2, -1)
+
+        rm_entry = (kf == 1)                          # (2P,) no bait/qc yet
+        nt_rec = jnp.where(
+            (bs == 2) & (nt_total >= 2), 2,
+            jnp.where((bs == 1) & (nt_total >= 3), 3, nt_total))
+        af_early = ((bs == 2) & (nt_total >= 2)) | (
+            (bs == 1) & (nt_total >= 3))
+        af_nt0 = (nt_total == 0) & (bs != 2)
+        af_nt2 = (nt_total == 2) & (bs == 1) & (ntr < cfg.nm_tr)
+        af = jnp.where(rm_entry, 0, (af_early | af_nt0 | af_nt2))
+        af = af.astype(jnp.int32) & dev_pair.repeat(2).astype(jnp.int32)
+        rm = jnp.where(dev_pair.repeat(2),
+                       (rm_entry.astype(jnp.int32) | af), 1)
+
+        ok = (af == 0) & ~rm_entry & dev_pair.repeat(2)
+        nkr = nk                                       # (2P,)
+        mid1 = jnp.where(si1 >= 0, (si1 + ei1) // 2, ti1)
+        mid2 = jnp.where(si2 >= 0, (si2 + ei2) // 2, ti2)
+        si = jnp.where(nt_total == 0, 0,
+             jnp.where(nt_total == 1,
+                       jnp.where(bs == 1, mid1, 0),
+                       mid1))
+        ei = jnp.where(nt_total == 0, nkr,
+             jnp.where(nt_total == 1,
+                       jnp.where(bs == 1, nkr, mid1),
+                       mid2))
+        si_ = jnp.where(nt_total == 0, 0,
+              jnp.where(nt_total == 1,
+                        jnp.where(bs == 1,
+                                  jnp.where(si1 >= 0, ei1, ti1), 0),
+                        jnp.where(ei1 >= 0, ei1, ti1)))
+        ei_ = jnp.where(nt_total == 0, nkr,
+              jnp.where(nt_total == 1,
+                        jnp.where(bs == 1, nkr,
+                                  jnp.where(si1 >= 0, si1, ti1)),
+                        jnp.where(si2 >= 0, si2, ti2)))
+        si = jnp.where(ok, si, -1)
+        ei = jnp.where(ok, ei, -1)
+        si_ = jnp.where(ok, si_, -1)
+        ei_ = jnp.where(ok, ei_, -1)
+        nt_out = jnp.where(rm_entry & dev_pair.repeat(2), -1, nt_rec)
+        bs_out = jnp.where(rm_entry & dev_pair.repeat(2), -1, bs)
+        ti_out = jnp.where(
+            rm_entry & dev_pair.repeat(2), -1,
+            jnp.where(nt_total >= 1, ti1, -1))
+
+        # ---- accumulation ----
+        rm_p = rm.reshape(P, 2)
+        counted = dev_pair & ~(rm_p.all(axis=1))
+        nmate = jnp.where(counted, 2 - rm_p.sum(axis=1), 0)
+        dest = jnp.where(counted, dst0, nloci).astype(jnp.int32)
+        dcl = jnp.clip(dest, 0, nloci)  # nloci row = trash
+        seglen = jnp.maximum(ei - si, 0).reshape(P, 2).sum(axis=1)
+
+        counts = state["counts"]
+        do_count = (ann == 2) & ((rm == 0) & counted.repeat(2))[:, None]
+        cslot = jnp.where(do_count, slot, drp.nslots)
+        counts = counts.at[cslot.reshape(-1)].add(1, mode="drop")
+        nmapread = state["nmapread"].at[dcl].add(
+            jnp.where(counted, nmate, 0).astype(jnp.uint32), mode="drop")
+        kmc = state["kmc"].at[dcl].add(
+            jnp.where(counted, seglen, 0).astype(jnp.uint32), mode="drop")
+
+        # stats exclude referee'd pairs entirely; the host oracle re-counts
+        # their full funnel when it reprocesses them
+        stats = state["stats"]
+        stats = stats.at[0].add(2 * jnp.sum(live & ~referee))     # nReads
+        stats = stats.at[1].add(jnp.sum(live & ~pair_nonshort))   # nShort
+        stats = stats.at[2].add(2 * jnp.sum(pair_nonshort & ~pair_sub))
+        stats = stats.at[3].add(jnp.sum(jnp.where(
+            (pair_sub & ~referee).repeat(2), kf, 0)))             # nKmerFilt
+        stats = stats.at[4].add(jnp.sum(hf))                      # nLocusAsgn
+        stats = stats.at[5].add(2 * jnp.sum(dev_pair))
+        stats = stats.at[6].add(jnp.sum(jnp.where(counted, nmate, 0)))
+        new_state = dict(counts=counts, nmapread=nmapread, kmc=kmc,
+                         stats=stats)
+
+        out = dict(
+            pair_alive=pair_kf, vote_pass=vote_pass, referee=referee,
+            dst0=dst0, counted=counted, dest=dest,
+            kf=kf, hf=hf, rm=rm, af=af,
+            nt=nt_out, bs=bs_out, ti=ti_out, si=si, ei=ei,
+            si_=si_, ei_=ei_, nk=nk,
+            sub_drop=pair_nonshort & ~pair_sub,
+            nonshort=pair_nonshort,
+        )
+        if with_annot:
+            out["ann"] = ann.astype(jnp.uint8)
+        if t_tre is not None:
+            efound, _ = dt.lookup_jax(
+                t_tre[0], t_tre[1], t_tre[3],
+                ex["elo"].reshape(-1), ex["ehi"].reshape(-1),
+                drp.tre_tab.max_probes,
+                t_loc=t_tre[2],
+                q_loc=dst0_read[:, None].repeat(NE, 1).reshape(-1))
+            efound = efound.reshape(2 * P, NE)
+            pos_e = jnp.arange(NE, dtype=jnp.int32)[None, :]
+            in_seg = (pos_e >= si_[:, None]) & (pos_e < (ei_ - 1)[:, None])
+            novel = (~efound) & ex["evalid"] & in_seg & (rm == 0)[:, None]
+            novel = novel & counted.repeat(2)[:, None]
+            out["novel_edge"] = novel
+        return new_state, out
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def init_state(drp: DeviceRPGG):
+    return dict(
+        counts=jnp.zeros(drp.nslots + 1, jnp.uint32),
+        nmapread=jnp.zeros(drp.nloci + 1, jnp.uint32),
+        kmc=jnp.zeros(drp.nloci + 1, jnp.uint32),
+        stats=jnp.zeros(8, jnp.int64 if jax.config.jax_enable_x64
+                        else jnp.int32),
+    )

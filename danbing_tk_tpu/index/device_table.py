@@ -1,0 +1,213 @@
+"""Open-addressing hash tables for device-resident k-mer lookup.
+
+The reference probes ``std::unordered_map`` per k-mer (pointer-chasing,
+aQueryFasta_thread.cpp:190-245).  On TPU we replace this with flat
+power-of-two open-addressing tables in HBM, probed by vectorized gathers
+(linear probing, all lanes advance until resolved).  Keys are canonical
+k-mers (<= 62 bits) split into u32 (lo, hi) planes -- TPUs have no native
+64-bit integers, so all device arithmetic is 32-bit.
+
+Three table flavors:
+  * KmerTable       : kmer -> u32 value          (kmerDBi)
+  * LocusKmerTable  : (kmer, locus) -> u32 value (TR/flank annotation,
+                      TR-count slot ids, tre edge membership, bait windows)
+
+Empty slots hold key = 0xFFFFFFFF in both planes (no valid <=62-bit kmer
+maps there).  Load factor is capped at 0.6; probe loops are bounded by the
+max displacement recorded at build time so the XLA while-loop has a static
+trip bound.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+EMPTY = np.uint32(0xFFFFFFFF)
+
+
+def _mix32_np(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint32)
+    x ^= x >> np.uint32(16)
+    x *= np.uint32(0x7FEB352D)
+    x ^= x >> np.uint32(15)
+    x *= np.uint32(0x846CA68B)
+    x ^= x >> np.uint32(16)
+    return x
+
+
+def hash_u32_np(lo, hi, locus=None) -> np.ndarray:
+    h = _mix32_np(np.asarray(hi, np.uint32))
+    if locus is not None:
+        h = _mix32_np(h ^ np.asarray(locus, np.uint32))
+    return _mix32_np(np.asarray(lo, np.uint32) ^ h)
+
+
+def _table_size(n: int, max_load: float = 0.6) -> int:
+    size = 64
+    while size * max_load < n:
+        size *= 2
+    return size
+
+
+class OATable:
+    """Host-built open-addressing table; arrays are plain numpy, uploaded to
+    device by the engine.  ``locus`` plane is present only for composite
+    keys."""
+
+    def __init__(self, key_lo, key_hi, locus, val, max_probes):
+        self.key_lo = key_lo
+        self.key_hi = key_hi
+        self.locus = locus
+        self.val = val
+        self.max_probes = int(max_probes)
+        self.size = len(key_lo)
+
+    @property
+    def nbytes(self):
+        n = self.key_lo.nbytes + self.key_hi.nbytes + self.val.nbytes
+        if self.locus is not None:
+            n += self.locus.nbytes
+        return n
+
+
+def build_table(keys: np.ndarray, vals: np.ndarray,
+                loci: np.ndarray | None = None,
+                max_load: float = 0.6) -> OATable:
+    """Vectorized linear-probe insertion (batched rounds)."""
+    keys = np.asarray(keys, dtype=np.uint64)
+    vals = np.asarray(vals, dtype=np.uint32)
+    n = len(keys)
+    size = _table_size(n, max_load)
+    mask = np.uint32(size - 1)
+    t_lo = np.full(size, EMPTY, dtype=np.uint32)
+    t_hi = np.full(size, EMPTY, dtype=np.uint32)
+    t_loc = np.full(size, EMPTY, dtype=np.uint32) if loci is not None else None
+    t_val = np.zeros(size, dtype=np.uint32)
+
+    lo = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (keys >> np.uint64(32)).astype(np.uint32)
+    loc = None if loci is None else np.asarray(loci, dtype=np.uint32)
+    slot = hash_u32_np(lo, hi, loc) & mask
+
+    pending = np.arange(n)
+    probes = 0
+    max_probes = 0
+    while len(pending):
+        probes += 1
+        s = slot[pending]
+        # claim: first pending writer per slot wins this round
+        order = np.argsort(s, kind="stable")
+        s_sorted = s[order]
+        first = np.ones(len(s_sorted), dtype=bool)
+        first[1:] = s_sorted[1:] != s_sorted[:-1]
+        winners_sorted = order[first]
+        win = pending[winners_sorted]
+        s_win = s[winners_sorted]
+        free = t_lo[s_win] == EMPTY
+        if t_hi is not None:
+            free &= t_hi[s_win] == EMPTY
+        placed = win[free]
+        sp = s_win[free]
+        t_lo[sp] = lo[placed]
+        t_hi[sp] = hi[placed]
+        if t_loc is not None:
+            t_loc[sp] = loc[placed]
+        t_val[sp] = vals[placed]
+        placed_mask = np.zeros(n, dtype=bool)
+        placed_mask[placed] = True
+        still = pending[~placed_mask[pending]]
+        if len(still):
+            slot[still] = (slot[still] + 1) & mask
+        if len(placed):
+            max_probes = probes
+        pending = still
+        assert probes <= size, "table build diverged"
+    return OATable(t_lo, t_hi, t_loc, t_val, max_probes)
+
+
+def lookup_np(tab: OATable, keys: np.ndarray,
+              loci: np.ndarray | None = None):
+    """Host-side probe (oracle for the JAX version).
+
+    Returns (found bool[n], val u32[n])."""
+    keys = np.asarray(keys, dtype=np.uint64)
+    lo = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (keys >> np.uint64(32)).astype(np.uint32)
+    loc = None if loci is None else np.asarray(loci, dtype=np.uint32)
+    mask = np.uint32(tab.size - 1)
+    slot = hash_u32_np(lo, hi, loc) & mask
+    found = np.zeros(len(keys), dtype=bool)
+    val = np.zeros(len(keys), dtype=np.uint32)
+    active = np.ones(len(keys), dtype=bool)
+    for _ in range(tab.max_probes + 1):
+        if not active.any():
+            break
+        s = slot[active]
+        klo, khi = tab.key_lo[s], tab.key_hi[s]
+        match = (klo == lo[active]) & (khi == hi[active])
+        if tab.locus is not None:
+            match &= tab.locus[s] == loc[active]
+        empty = (klo == EMPTY) & (khi == EMPTY)
+        idx = np.where(active)[0]
+        hitidx = idx[match]
+        found[hitidx] = True
+        val[hitidx] = tab.val[s[match]]
+        done = match | empty
+        active[idx[done]] = False
+        slot[idx[~done]] = (slot[idx[~done]] + 1) & mask
+    return found, val
+
+
+# ---------------- JAX probe ----------------
+
+def lookup_jax(t_lo, t_hi, t_val, q_lo, q_hi, max_probes: int,
+               t_loc=None, q_loc=None):
+    """Vectorized device probe: returns (found bool[...], val u32[...]).
+
+    All-lane bounded linear probing; max_probes is a static bound from the
+    build.  Query shapes are arbitrary; tables are 1-D device arrays.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    size = t_lo.shape[0]
+    mask = np.uint32(size - 1)
+
+    def mix32(x):
+        x = x.astype(jnp.uint32)
+        x = x ^ (x >> 16)
+        x = x * np.uint32(0x7FEB352D)
+        x = x ^ (x >> 15)
+        x = x * np.uint32(0x846CA68B)
+        x = x ^ (x >> 16)
+        return x
+
+    h = mix32(q_hi)
+    if q_loc is not None:
+        h = mix32(h ^ q_loc.astype(jnp.uint32))
+    slot = (mix32(q_lo ^ h) & mask).astype(jnp.uint32)
+
+    found = jnp.zeros(slot.shape, dtype=jnp.bool_)
+    val = jnp.zeros(slot.shape, dtype=jnp.uint32)
+    active = jnp.ones(slot.shape, dtype=jnp.bool_)
+
+    def body(i, carry):
+        slot, found, val, active = carry
+        s = slot.astype(jnp.int32)
+        klo = t_lo[s]
+        khi = t_hi[s]
+        match = (klo == q_lo) & (khi == q_hi)
+        if t_loc is not None:
+            match &= t_loc[s] == q_loc
+        empty = (klo == EMPTY) & (khi == EMPTY)
+        hit = active & match
+        found = found | hit
+        val = jnp.where(hit, t_val[s], val)
+        active = active & ~(match | empty)
+        slot = jnp.where(active, (slot + 1) & mask, slot)
+        return slot, found, val, active
+
+    slot, found, val, active = jax.lax.fori_loop(
+        0, max_probes + 1, body, (slot, found, val, active)
+    )
+    return found, val

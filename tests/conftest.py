@@ -2,7 +2,15 @@ import os
 
 # Unit tests run on a virtual 8-device CPU mesh; the real-TPU paths are
 # exercised by bench.py / __graft_entry__.py on hardware.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the session env pins JAX to the (slow, remote) TPU tunnel and
+# the axon sitecustomize force-sets jax_platforms="axon,cpu" via
+# jax.config.update (overriding the env var), so we must update the config
+# back after import.  Set DTK_TEST_TPU=1 to run against the real TPU.
+if not os.environ.get("DTK_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -73,11 +73,26 @@ def mutate(rng, seq, sub=0.002, ind=0.0005):
 
 
 def make_dataset(rng):
-    """Returns haps[h][locus] = full sequence (LF + TR + RF)."""
+    """Returns haps[h][locus] = full sequence (LF + TR + RF).
+
+    Several locus families share motifs (exact or lightly mutated) so that
+    many k-mers map to multiple loci -- this exercises the kmerDBi vv lists,
+    vote competition, and tie handling in align."""
+    motifs = []
     haps = [[None] * NLOCI for _ in range(NHAP)]
     for li in range(NLOCI):
-        mlen = int(rng.integers(3, 16))
-        motif = rand_seq(rng, mlen)
+        if li % 4 == 3 and motifs:
+            # reuse an earlier motif verbatim (shared kmers across loci)
+            motif = motifs[int(rng.integers(0, len(motifs)))]
+        elif li % 4 == 2 and motifs:
+            # lightly mutated copy of an earlier motif
+            motif = mutate(rng, motifs[-1], sub=0.08, ind=0)
+            if not motif:
+                motif = rand_seq(rng, 11)
+        else:
+            mlen = int(rng.integers(3, 16))
+            motif = rand_seq(rng, mlen)
+        motifs.append(motif)
         lf = rand_seq(rng, FS)
         rf = rand_seq(rng, FS)
         base_n = int(rng.integers(20, 80))
