@@ -1,0 +1,182 @@
+"""RPGG per-genome build: fa2kmers equivalent (reference src/fa2kmers.cpp).
+
+Given per-haplotype FASTAs of TR alleles (one record per locus, TR flanked
+by ``fsi`` bases each side), counts canonical TR k-mers, flank-window
+k-mers, and the bidirectional dBG edge masks, and writes the
+.tr/.fl/.graph.kmers outputs.  Window semantics (fa2kmers.cpp:148-158):
+
+  TR   : buildNuKmers(read, k, leftflank=fsi, rightflank=fsi)
+  FL-L : leftflank=fsi-fso,             rightflank=len-fsi-(k-1)
+  FL-R : leftflank=len-fsi-(k-1),       rightflank=fsi-fso
+  graph: whole read, fwd + RC, no self loops
+
+Output order reproduces the reference byte-for-byte: per-locus hash-map
+iteration order via utils.stdumap over the first-occurrence insertion
+sequence.
+
+Also provides the ``.tre.kmers`` producer (TR-region (k+1)-mers) that the
+serialized RPGG needs; the reference repo has no in-tree producer for it
+(pipeline drift, SURVEY.md §2.1/§3.1) so the format here follows what
+``ktools serialize``/align consume.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops import kmers_np as K
+from ..utils.stdumap import StdUmapOrder
+
+
+def read_fasta_seqs(path: str) -> list[str]:
+    seqs, cur = [], []
+    with open(path) as f:
+        for line in f:
+            if line.startswith(">"):
+                if cur:
+                    seqs.append("".join(cur))
+                    cur = []
+            else:
+                cur.append(line.strip())
+    if cur:
+        seqs.append("".join(cur))
+    return seqs
+
+
+class _OrderedCounter:
+    """Counts with libstdc++-iteration-order replay."""
+
+    __slots__ = ("order", "val")
+
+    def __init__(self):
+        self.order = StdUmapOrder()
+        self.val = {}
+
+    def bump(self, key: int, inc: int):
+        self.order.insert(key)
+        self.val[key] = self.val.get(key, 0) + inc
+
+    def bor(self, key: int, bits: int):
+        self.order.insert(key)
+        self.val[key] = self.val.get(key, 0) | bits
+
+    def items_in_map_order(self):
+        for k in self.order:
+            yield k, self.val[k]
+
+    def __len__(self):
+        return len(self.val)
+
+
+def _count_into(oc: _OrderedCounter, seq: str, k: int, lf: int, rf: int,
+                count: bool):
+    codes = K.encode_bases(seq)
+    n = len(codes)
+    lo, hi = lf, n - rf - k + 1
+    if hi <= lo:
+        return
+    kms = K.seq_to_kmers(codes, k, canonical=True)[lo:hi]
+    inc = 1 if count else 0
+    for km in kms:
+        if km != K.NAN64:
+            oc.bump(int(km), inc)
+
+
+def _graph_into(oc: _OrderedCounter, seq: str, k: int):
+    for s in (seq, K._revcomp_str(seq)):
+        codes = K.encode_bases(s)
+        kms = K.seq_to_kmers(codes, k, canonical=False)
+        n = len(kms)
+        for i in range(n):
+            km = kms[i]
+            if km == K.NAN64:
+                continue
+            km = int(km)
+            nxt = int(kms[i + 1]) if i + 1 < n and kms[i + 1] != K.NAN64 \
+                else -1
+            if nxt >= 0:
+                valid = km != nxt  # noselfloop
+                oc.bor(km, (1 if valid else 0) << (nxt & 3))
+            else:
+                oc.bor(km, 0)
+
+
+def fa2kmers(out_pref: str, fastas: list[str], k: int = 21, fsi: int = 700,
+             fso: int = 700, nfile2count: int | None = None,
+             gen_graph: bool = True, tr_only: bool = False,
+             threshold: int = 0, orthomap: list[list[bool]] | None = None,
+             nloci: int | None = None):
+    """Writes <out_pref>.tr.kmers [+ .fl.kmers, .graph.kmers] (-on format).
+
+    orthomap[locus][hap] = present; when given, each hap's records map to
+    the loci marked present (fa2kmers.cpp:116-121,146).
+    """
+    nhap = len(fastas)
+    if nfile2count is None:
+        nfile2count = nhap
+    if nloci is None:
+        if orthomap is not None:
+            nloci = len(orthomap)
+        else:
+            nloci = len(read_fasta_seqs(fastas[0]))
+    tr = [_OrderedCounter() for _ in range(nloci)]
+    fl = [_OrderedCounter() for _ in range(nloci)]
+    gr = [_OrderedCounter() for _ in range(nloci)]
+    for h, path in enumerate(fastas):
+        count = h < nfile2count
+        locus = 0
+        for seq in read_fasta_seqs(path):
+            if orthomap is not None:
+                while not orthomap[locus][h]:
+                    locus += 1
+            n = len(seq)
+            _count_into(tr[locus], seq, k, fsi, fsi, count)
+            if not tr_only:
+                _count_into(fl[locus], seq, k, fsi - fso,
+                            n - fsi - (k - 1), count)
+                _count_into(fl[locus], seq, k, n - fsi - (k - 1),
+                            fsi - fso, count)
+                if gen_graph:
+                    _graph_into(gr[locus], seq, k)
+            locus += 1
+
+    _write(out_pref + ".tr.kmers", tr, threshold)
+    if not tr_only:
+        _write(out_pref + ".fl.kmers", fl, threshold)
+        if gen_graph:
+            _write(out_pref + ".graph.kmers", gr, 0)
+    return tr, fl, gr
+
+
+def _write(path: str, dbs, threshold: int):
+    with open(path, "w") as f:
+        for i, db in enumerate(dbs):
+            f.write(f">{i}\n")
+            for km, c in db.items_in_map_order():
+                if c < threshold:
+                    continue
+                f.write(f"{km}\t{c}\n")
+
+
+def make_tre_kmers(out_pref: str, fastas: list[str], k: int = 21,
+                   fsi: int = 700):
+    """TR-region (k+1)-mer sets -> <out_pref>.tre.kmers (sorted per locus).
+
+    No reference producer exists at HEAD; align only needs set membership
+    (countNovelEdges, aQueryFasta_thread.cpp:1559-1567), so order is our
+    choice (sorted for determinism)."""
+    nloci = len(read_fasta_seqs(fastas[0]))
+    tre = [set() for _ in range(nloci)]
+    for path in fastas:
+        for li, seq in enumerate(read_fasta_seqs(path)):
+            codes = K.encode_bases(seq)
+            kms = K.seq_to_kmers(codes, k + 1, canonical=True)
+            lo, hi = fsi, len(codes) - fsi - (k + 1) + 1
+            for km in kms[lo:hi]:
+                if km != K.NAN64:
+                    tre[li].add(int(km))
+    with open(out_pref + ".tre.kmers", "w") as f:
+        for li in range(nloci):
+            f.write(f">{li}\n")
+            for km in sorted(tre[li]):
+                f.write(f"{km}\n")

@@ -141,8 +141,8 @@ def _take_rows(a, idx):
 
 def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
               expand_cap: int = 512, with_annot: bool = True,
-              with_bubbles: bool = False):
-    """Builds the jitted per-batch function.
+              with_bubbles: bool = False, jit: bool = True):
+    """Builds the (by default jitted) per-batch function.
 
     Returns step(state, codes(2P,L) u8, rlen(2P,) i32, live(P,) bool)
       -> (state, outputs dict)
@@ -448,7 +448,7 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
             out["novel_edge"] = novel
         return new_state, out
 
-    return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step, donate_argnums=(0,)) if jit else step
 
 
 def init_state(drp: DeviceRPGG):

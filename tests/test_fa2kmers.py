@@ -1,0 +1,21 @@
+"""fa2kmers equivalent: byte-exact vs reference golden pan.*.kmers."""
+
+import os
+
+from danbing_tk_tpu.apps.fa2kmers import fa2kmers, make_tre_kmers
+
+
+def test_fa2kmers_byte_exact(golden_dir, tmp_path):
+    haps = [os.path.join(golden_dir, f"hap{h}.fa") for h in range(4)]
+    fa2kmers(str(tmp_path / "pan"), haps, k=21, fsi=700, fso=700)
+    for fn in ["pan.tr.kmers", "pan.fl.kmers", "pan.graph.kmers"]:
+        ours = (tmp_path / fn).read_bytes()
+        gold = open(os.path.join(golden_dir, fn), "rb").read()
+        assert ours == gold, fn
+
+
+def test_make_tre_matches_golden(golden_dir, tmp_path):
+    haps = [os.path.join(golden_dir, f"hap{h}.fa") for h in range(4)]
+    make_tre_kmers(str(tmp_path / "pan"), haps, k=21, fsi=700)
+    assert (tmp_path / "pan.tre.kmers").read_bytes() == open(
+        os.path.join(golden_dir, "pan.tre.kmers"), "rb").read()
