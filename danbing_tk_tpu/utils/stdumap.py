@@ -112,6 +112,47 @@ class StdUmapOrder:
                 self.bucket_before[old_head % self.nbkt] = key
             self.bucket_before[b] = -1
 
+    def clear(self) -> None:
+        """unordered_map::clear(): drops all nodes but KEEPS the bucket
+        count and rehash threshold (so post-clear insertion order differs
+        from a fresh container's)."""
+        self.size = 0
+        self.head = None
+        self.nxt = {}
+        self.bucket_before = {}
+
+    def erase(self, key: int) -> bool:
+        """Remove key (matches _Hashtable::_M_erase: unlink from the global
+        list, patch the bucket before-node pointers, no rehash)."""
+        if key not in self.nxt:
+            return False
+        b = key % self.nbkt
+        bb = self.bucket_before[b]
+        # predecessor of key in the global list (walk this bucket's chain)
+        prev = bb
+        cur = self.head if bb == -1 else self.nxt[bb]
+        while cur != key:
+            prev = cur
+            cur = self.nxt[cur]
+        nxt = self.nxt[key]
+        first_of_bucket = prev == bb
+        if first_of_bucket:
+            if nxt is None or nxt % self.nbkt != b:
+                # bucket becomes empty
+                if nxt is not None:
+                    self.bucket_before[nxt % self.nbkt] = bb
+                del self.bucket_before[b]
+        else:
+            if nxt is not None and nxt % self.nbkt != b:
+                self.bucket_before[nxt % self.nbkt] = prev
+        if prev == -1:
+            self.head = nxt
+        else:
+            self.nxt[prev] = nxt
+        del self.nxt[key]
+        self.size -= 1
+        return True
+
     def _rehash(self, new_nbkt: int) -> None:
         order = list(self)
         self.nbkt = new_nbkt

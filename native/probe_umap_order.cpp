@@ -11,6 +11,8 @@
 //   order             : read u64 keys (one per line) from stdin; print
 //                       "bc <bucket_count>" then iteration order after all
 //                       inserts, plus bucket_count after each insert on fd 2.
+//   ops               : read "i <key>" / "e <key>" lines; print final
+//                       iteration order (exercises erase).
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -27,6 +29,17 @@ int main(int argc, char** argv) {
             if (p != prev) { printf("%lu\n", p); prev = p; }
             n = p + 1;
         }
+        return 0;
+    }
+    if (argc > 1 && !strcmp(argv[1], "ops")) {
+        std::unordered_map<uint64_t, uint64_t> m;
+        char op;
+        uint64_t k;
+        while (scanf(" %c %lu", &op, &k) == 2) {
+            if (op == 'i') m[k] += 1;
+            else if (op == 'e') m.erase(k);
+        }
+        for (auto& p : m) printf("%lu\n", (unsigned long)p.first);
         return 0;
     }
     std::unordered_map<uint64_t, uint64_t> m;

@@ -48,3 +48,33 @@ for i, n in enumerate([100, 3000]):
 @pytest.mark.parametrize("name,keys", CASES, ids=[c[0] for c in CASES])
 def test_iteration_order_matches_libstdcxx(probe, name, keys):
     assert umap_iteration_order(keys) == run_probe(probe, keys)
+
+
+def _run_probe_ops(probe, ops):
+    inp = "\n".join(f"{op} {int(k)}" for op, k in ops).encode()
+    p = subprocess.run([probe, "ops"], input=inp, capture_output=True,
+                       check=True)
+    return [int(x) for x in p.stdout.split()]
+
+
+def test_erase_matches_libstdcxx(probe):
+    from danbing_tk_tpu.utils.stdumap import StdUmapOrder
+
+    rng2 = np.random.default_rng(77)
+    for trial in range(8):
+        n = int(rng2.integers(10, 3000))
+        keys = rng2.integers(0, 1 << 40, n)
+        ops = []
+        live = []
+        m = StdUmapOrder()
+        for k in keys:
+            k = int(k)
+            if live and rng2.random() < 0.35:
+                victim = int(live[rng2.integers(0, len(live))])
+                ops.append(("e", victim))
+                m.erase(victim)
+                live = [x for x in live if x != victim]
+            ops.append(("i", k))
+            if m.insert(k):
+                live.append(k)
+        assert list(m) == _run_probe_ops(probe, ops), trial

@@ -252,6 +252,32 @@ def main():
     b = open(os.path.join(OUT, "out.kam2"), "rb").read()
     assert a == b, "kam outputs differ between runs"
     os.remove(os.path.join(OUT, "out.kam2"))
+
+    # --- per-genome builds + pan merge (genPanKmers golden) ---
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from danbing_tk_tpu.apps.fa2kmers import make_tre_kmers
+
+    for gi, hs in enumerate([(0, 1), (2, 3)]):
+        gp = os.path.join(OUT, f"g{gi}")
+        gfas = [hapfiles[h] for h in hs]
+        run([f"{REFBIN}/fa2kmers", "-g", "-k", str(KSIZE), "-fsi", str(FS),
+             "-fso", str(FS), "-on", gp, "-fa", "2"] + gfas)
+        make_tre_kmers(gp, gfas, KSIZE, FS)
+    run([f"{REFBIN}/genPanKmers", "-o", os.path.join(OUT, "pan2"), "-m", "-",
+         "-k", os.path.join(OUT, "g0"), os.path.join(OUT, "g1")])
+
+    # --- bait pipeline golden: profiles -> FPS kmers -> bt.kmdb -> align -b
+    simkam = os.path.join(OUT, "out.sim.kam")
+    run([f"{REFBIN}/baitBuilder", "v1.pf", simkam, str(NLOCI), str(KSIZE),
+         os.path.join(OUT, "bait")])
+    run([f"{REFBIN}/baitBuilder", "v2", str(NLOCI), str(KSIZE),
+         os.path.join(OUT, "bait.FPSkmer.tsv"),
+         os.path.join(OUT, "bait.FP_pf.txt"),
+         os.path.join(OUT, "bait.TP_pf.txt")])
+    run([f"{REFBIN}/ktools", "serialize-bt", os.path.join(OUT,
+         "bait.FPSkmer.tsv"), str(NLOCI), pan])
+    align(["-b", "-s", "2", "-o"], os.path.join(OUT, "out.bait"),
+          "out.bait.kam", reads="reads.sim.fa")
     # drop empty placeholder files align creates via -o parse
     for f in ["out.on.trkmc.ar", "out.sim.trkmc.ar"]:
         p = os.path.join(OUT, f)
