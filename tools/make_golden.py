@@ -278,6 +278,14 @@ def main():
          "bait.FPSkmer.tsv"), str(NLOCI), pan])
     align(["-b", "-s", "2", "-o"], os.path.join(OUT, "out.bait"),
           "out.bait.kam", reads="reads.sim.fa")
+    # --- small utilities: sim_reads (deterministic stride mode), bam2pe ---
+    with open(os.path.join(OUT, "sim_reads.golden.fa"), "w") as f:
+        run([f"{REFBIN}/sim_reads", "-pe", "-no-err", "-c", "10", "-ml",
+             "1000", "-i", hapfiles[0]], stdout=f)
+    with open(os.path.join(OUT, "bam2pe.golden.fa"), "w") as f:
+        run([f"{REFBIN}/bam2pe", "-fai", os.path.join(OUT, "reads.fa")],
+            stdout=f)
+
     # drop empty placeholder files align creates via -o parse
     for f in ["out.on.trkmc.ar", "out.sim.trkmc.ar"]:
         p = os.path.join(OUT, f)
