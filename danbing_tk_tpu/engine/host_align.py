@@ -84,6 +84,15 @@ class AlignConfig:
     qth: int = 20
     is_fastq: bool = False
     reads_per_batch: int = 300000
+    # threading mode (-g/-gc/-gcc; reference v1.3.1 behavior, see
+    # engine/threading.py)
+    threading: bool = False
+    thread_cth: int = 100
+    correction: bool = True
+    maxncorrection: int = 4
+    tc: bool = False         # -gcc sanity check
+    aln: bool = False        # -a
+    aln_minimal: bool = False  # -ae
 
 
 class RPGG:
@@ -120,6 +129,15 @@ class RPGG:
         self.qc_filter = (
             tio.read_qc_file(qc_file, self.nloci) if qc_file else None
         )
+        self.graphs = None  # loaded on demand for threading mode
+
+    def load_graphs(self):
+        """Per-locus dBG: kmer -> 4-bit out-edge mask (pref.graph.kmers)."""
+        if self.graphs is None:
+            dbs = tio.read_kmer_file(self.pref + ".graph.kmers")
+            # readGraphKmers ORs masks; counts here already merged
+            self.graphs = dbs
+        return self.graphs
 
 
 def _split_sets(index, ks):
@@ -548,11 +566,14 @@ class HostAligner:
         # batch-local bubbles: locus -> (StdUmapOrder, counts)
         self._bub_batch: dict[int, tuple[StdUmapOrder, dict]] = {}
         self.kam_rows: list[str] = []
+        self.aln_rows: list[str] = []
         self.stats = dict(
             nReads=0, nShort=0, nSubFiltered=0, nKmerFiltered=0,
             nBaitFiltered=0, nQualFiltered=0, nLocusAssignFiltered=0,
             nQCFiltered=0, nThreadingReads=0, nFeasibleReads=0, nAsgnReads=0,
         )
+        if cfg.threading:
+            rpgg.load_graphs()
 
     def run_file(self, path: str):
         cfg = self.cfg
@@ -606,6 +627,10 @@ class HostAligner:
             return
 
         st["nThreadingReads"] += 2
+
+        if cfg.threading:
+            self._thread_pair(title, seq1, seq2, src, dest)
+            return
         st["nFeasibleReads"] += 2
 
         if cfg.bait:
@@ -659,7 +684,67 @@ class HostAligner:
                          cfg.is_fastq)
             )
 
+    def _thread_pair(self, title, seq1, seq2, src, dest):
+        """Threading-mode branch (re-enabled v1.3.1 behavior; counting =
+        aln mode over the corrected kmer streams of aligned mates)."""
+        from . import threading as thr
+
+        cfg, g = self.cfg, self.g
+        k = cfg.ksize
+        gf = g.graphs[dest]
+        trc = g.tr_counts[dest]
+        cg1 = thr.Cigar(seq1, k)
+        alned0, _, ak0 = thr.is_thread_feasible(
+            gf, seq1, cfg.thread_cth, cfg.correction, cg1, trc, k,
+            cfg.maxncorrection)
+        cg2 = thr.Cigar(seq2, k)
+        alned1, _, ak1 = thr.is_thread_feasible(
+            gf, seq2, cfg.thread_cth, cfg.correction, cg2, trc, k,
+            cfg.maxncorrection)
+        if cfg.tc:
+            if alned0:
+                thr.thread_check(gf, seq1, ak0, cg1, k)
+            if alned1:
+                thr.thread_check(gf, seq2, ak1, cg2, k)
+        if alned0 or alned1:
+            cak: dict[int, int] = {}
+            if alned0:
+                for km in ak0:
+                    if km != thr.NAN64:
+                        ca = thr.to_ca(km, k)
+                        cak[ca] = cak.get(ca, 0) + 1
+            if alned1:
+                for km in ak1:
+                    if km != thr.NAN64:
+                        ca = thr.to_ca(km, k)
+                        cak[ca] = cak.get(ca, 0) + 1
+            for km, c in cak.items():
+                if km in trc:
+                    trc[km] += c
+            self.stats["nFeasibleReads"] += int(bool(alned0)) + int(
+                bool(alned1))
+        else:
+            dest = g.nloci
+
+        if cfg.aln:
+            if cfg.simmode:
+                keep = (not cfg.aln_minimal) or (src != g.nloci
+                                                 or dest != g.nloci)
+            else:
+                keep = (not cfg.aln_minimal) or dest != g.nloci
+            if keep:
+                src_s = "." if src == -1 else str(src)
+                self.aln_rows.append(
+                    f"{src_s}\t{dest}\t{title}\t{seq2}\t{seq1}\t"
+                    f"{thr.write_cigar(cg2.es)}\t{thr.write_annot(cg2.tr)}\t"
+                    f"{thr.write_cigar(cg1.es)}\t{thr.write_annot(cg1.tr)}\n"
+                )
+
     # ---- outputs ----
+
+    def write_aln(self, path: str):
+        with open(path, "w") as f:
+            f.writelines(self.aln_rows)
 
     def write_kam(self, path: str):
         with open(path, "w") as f:

@@ -278,6 +278,19 @@ def main():
          "bait.FPSkmer.tsv"), str(NLOCI), pan])
     align(["-b", "-s", "2", "-o"], os.path.join(OUT, "out.bait"),
           "out.bait.kam", reads="reads.sim.fa")
+    # --- threading-mode goldens (needs the re-enabled oracle; see
+    # tools/patch_ref_threading.py) ---
+    thrbin = "/tmp/refthread/bin/danbing-tk-thread"
+    if not os.path.exists(thrbin):
+        run([sys.executable,
+             os.path.join(os.path.dirname(__file__),
+                          "patch_ref_threading.py")])
+    with open(os.path.join(OUT, "out.thread.aln"), "w") as alnf:
+        run([thrbin, "-k", str(KSIZE), "-qs", pan, "-fa",
+             os.path.join(OUT, "reads.sim.fa"), "-p", "1", "-cth", "20",
+             "-kf", "4", "1", "-s", "2", "-gc", "50", "3", "-a", "-on",
+             os.path.join(OUT, "out.thread")], stdout=alnf)
+
     # --- small utilities: sim_reads (deterministic stride mode), bam2pe ---
     with open(os.path.join(OUT, "sim_reads.golden.fa"), "w") as f:
         run([f"{REFBIN}/sim_reads", "-pe", "-no-err", "-c", "10", "-ml",
