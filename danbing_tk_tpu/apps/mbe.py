@@ -1,0 +1,253 @@
+"""Multi-boundary expansion (MBE) -- the core RPGG build-QC step
+(reference script/multiBoundaryExpansion.parallel.py).
+
+Jointly expands each locus's TR boundaries across all haplotypes until no
+TR k-mer appears within the FS-wide flanks: any flank k-mer found in the
+growing TR k-mer set is "noise"; boundaries move to cover it (adding the
+newly covered k-mers to the set) and the scan repeats.  A haplotype fails
+if its boundary would cross the TRWINDOW or expand beyond UB.
+
+This implementation is vectorized numpy per locus (the flank scans are
+array ops); loci are independent, so scale-out is trivial
+(multiprocessing in the reference, sharding here).  Outputs
+(pan.tr.mbe.v1.bed, locusMap.v1.to.v0.txt, per-hap tmp2 beds) are
+byte-compatible with the reference.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..ops import kmers_np as K
+
+INVALID = 0xFFFFFFFFFFFFFFFF
+
+
+def read2kmers_noshift(seq: str, k: int, leftflank: int = 0,
+                       rightflank: int = 0) -> np.ndarray:
+    """Canonical k-mers of seq[leftflank : len-rightflank] (positional,
+    INVALID on N windows)."""
+    codes = K.encode_bases(seq)[leftflank : len(seq) - rightflank]
+    return K.seq_to_kmers(codes, k, canonical=True)
+
+
+def mbe_locus(seqs, poss, FS: int, UB: int, ksize: int = 21):
+    """Joint boundary expansion for one locus.
+
+    seqs[hi]: TRWINDOW-padded sequence or None; poss[hi]: (s, e) TR span
+    within seqs[hi].  Returns (exp, fail list[bool], npos).
+    """
+    nh = len(seqs)
+    trs = set()
+    npos = list(poss)
+    vi = [hi for hi, v in enumerate(poss) if v is not None]
+    for hi in vi:
+        s, e = npos[hi]
+        for km in read2kmers_noshift(seqs[hi], ksize, s,
+                                     len(seqs[hi]) - e):
+            if km != INVALID:
+                trs.add(int(km))
+
+    exp = False
+    dt = np.full((nh, 2), FS, dtype=int)
+    kmers = np.full((nh, 2, FS), INVALID, dtype="uint64")
+    fail = [False] * nh
+    while True:
+        noise = np.zeros((nh, 2, FS), dtype=int)
+        for hi in vi:
+            if fail[hi]:
+                continue
+            seq = seqs[hi]
+            sl = len(seq)
+            s, e = npos[hi]
+            lf = [s - FS, e + FS - dt[hi, 1] - ksize + 1]
+            rf = [sl - s + FS - dt[hi, 0] - ksize + 1, sl - e - FS]
+            if lf[0] < 0 or rf[1] < 0:  # TR near breakpoint
+                fail[hi] = True
+                continue
+            for sfl in (0, 1):
+                if dt[hi, sfl]:
+                    if sfl == 0:
+                        kmers[hi, sfl, dt[hi, sfl]:] = \
+                            kmers[hi, sfl, : FS - dt[hi, sfl]].copy()
+                        kmers[hi, sfl, : dt[hi, sfl]] = \
+                            read2kmers_noshift(seq, ksize, lf[0], rf[0])
+                    else:
+                        kmers[hi, sfl, : FS - dt[hi, sfl]] = \
+                            kmers[hi, sfl, dt[hi, sfl]:].copy()
+                        kmers[hi, sfl, FS - dt[hi, sfl]:] = \
+                            read2kmers_noshift(seq, ksize, lf[1], rf[1])
+                # vectorized membership vs the TR set
+                row = kmers[hi, sfl]
+                hit = np.fromiter(
+                    (int(x) in trs for x in row), dtype=bool, count=FS)
+                noise[hi, sfl] = hit
+        if not noise.any() or all(fail):
+            break
+        exp = True
+        dt = np.zeros((nh, 2), dtype=int)
+        for hi in vi:
+            if fail[hi]:
+                continue
+            if noise[hi, 0].any():
+                dt[hi, 0] = FS - np.nonzero(noise[hi, 0])[0][0]
+                for km in kmers[hi, 0, -dt[hi, 0]:]:
+                    if km != INVALID:
+                        trs.add(int(km))
+            if noise[hi, 1].any():
+                dt[hi, 1] = np.nonzero(noise[hi, 1])[0][-1] + 1
+                for km in kmers[hi, 1, : dt[hi, 1]]:
+                    if km != INVALID:
+                        trs.add(int(km))
+            if noise[hi].any():
+                npos[hi] = (npos[hi][0] - dt[hi, 0], npos[hi][1] + dt[hi, 1])
+                if (poss[hi][0] - npos[hi][0] > UB
+                        or npos[hi][1] - poss[hi][1] > UB):
+                    fail[hi] = True
+        if all(fail):
+            break
+    return exp, fail, npos
+
+
+class ExpStat:
+    __slots__ = ("exp", "fail", "es", "opos", "npos")
+
+    def __init__(self, exp, fail, es, opos, npos):
+        self.exp = exp
+        self.fail = fail
+        self.es = es
+        self.opos = opos
+        self.npos = npos
+
+
+def _load_fasta_indexed(path: str):
+    """-> dict contig -> sequence (whole-file load; fine for build step)."""
+    seqs = {}
+    name, cur = None, []
+    with open(path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if line.startswith(">"):
+                if name is not None:
+                    seqs[name] = "".join(cur)
+                name = line[1:].split()[0]
+                cur = []
+            else:
+                cur.append(line)
+    if name is not None:
+        seqs[name] = "".join(cur)
+    return seqs
+
+
+def run_mbe(workdir: str, indir: str, gs: list[str], ksize: int, FS: int,
+            TRWINDOW: int, th1: float = 0.1, th2: float = 0.8,
+            ignore_case: bool = False):
+    """Full MBE flow over the reference's file layout (tmp1 beds +
+    pan.tr.mbe.v0.bed); writes v1 bed + locus map + per-hap tmp2 beds."""
+    nh = 2 * len(gs)
+    v0 = np.loadtxt(os.path.join(workdir, "pan.tr.mbe.v0.bed"),
+                    dtype=object, ndmin=2)
+    panmap = v0[:, 3:].astype(int)
+    nloci = v0.shape[0]
+
+    beds = np.full([nh, nloci, 4], None, dtype=object)
+    for gi, g in enumerate(gs):
+        for h in (0, 1):
+            hi = 2 * gi + h
+            m0 = panmap[:, hi] == 1
+            bed = np.loadtxt(os.path.join(workdir, g, f"tmp1.{h}.bed"),
+                             dtype=object, usecols=[0, 1, 2, 6], ndmin=2,
+                             comments=None)
+            m1 = bed[:, 0] != "."
+            assert m0.sum() == m1.sum()
+            beds[hi, m0] = bed[m1]
+
+    fastas = []
+    for g in gs:
+        for h in (0, 1):
+            seqs = _load_fasta_indexed(os.path.join(indir, f"{g}.{h}.fa"))
+            if ignore_case:
+                seqs = {k: v.upper() for k, v in seqs.items()}
+            fastas.append(seqs)
+
+    idx2exp = {}
+    UB = TRWINDOW - FS
+    for idx in range(nloci):
+        if panmap[idx].sum() == 0:
+            continue
+        seqs, poss = [None] * nh, [None] * nh
+        for hi in range(nh):
+            if beds[hi, idx, 0] is None:
+                continue
+            ctg = fastas[hi][beds[hi, idx, 0]]
+            s, e = int(beds[hi, idx, 1]), int(beds[hi, idx, 2])
+            ns = s - TRWINDOW if s > TRWINDOW else 0
+            ne = e + TRWINDOW if e + TRWINDOW < len(ctg) else len(ctg)
+            seqs[hi] = ctg[ns:ne]
+            poss[hi] = (s - ns, e - ns)
+        expanded, failed, npos = mbe_locus(seqs, poss, FS, UB, ksize)
+        if expanded:
+            if not all(failed):
+                es = np.average([
+                    poss[hi][0] - npos[hi][0] + npos[hi][1] - poss[hi][1]
+                    for hi in range(nh) if npos[hi] is not None])
+            else:
+                es = -1
+        else:
+            es = 0
+        idx2exp[idx] = ExpStat(expanded, np.nonzero(failed)[0].tolist(),
+                               es, poss, npos)
+
+    _write_bed_mbe(workdir, gs, nh, nloci, panmap, idx2exp, th1, th2)
+    return idx2exp
+
+
+def _write_bed_mbe(workdir, gs, nh, nloci, panmap, idx2exp, th1, th2):
+    """writeBed_MBE equivalent (byte-compatible numpy savetxt output)."""
+    bs = set()
+    for idx, st in idx2exp.items():
+        if st.exp:
+            if len(st.fail) == nh:
+                bs.add(idx)
+            else:
+                nf = len(st.fail) + sum(v is None for v in st.npos)
+                if 1 - nf / nh < th1:
+                    bs.add(idx)
+    ns = nh * th2
+    bs |= set(np.nonzero(panmap.sum(axis=1) < ns)[0].tolist())
+    vi = sorted(set(range(nloci)) - bs)
+    np.savetxt(os.path.join(workdir, "locusMap.v1.to.v0.txt"), vi, fmt="%i")
+
+    panbed = np.full([nloci, 3 + nh * 4], None, dtype=object)
+    panbed[:, :3] = np.loadtxt(os.path.join(workdir, "pan.tr.mbe.v0.bed"),
+                               usecols=[0, 1, 2], dtype=object)
+    for hi in range(nh):
+        g = gs[hi // 2]
+        h = hi % 2
+        bed = np.loadtxt(os.path.join(workdir, g, f"tmp1.{h}.bed"),
+                         dtype=object, ndmin=2, comments=None)
+        bed = bed[bed[:, 0] != "."]
+        p2g = np.full(nloci, None, dtype=object)
+        p2g[panmap[:, hi] == 1] = np.arange(bed.shape[0])
+        with open(os.path.join(workdir, g, f"tmp2.{h}.mbe.bed"), "w") as f:
+            for pid in vi:
+                if pid not in idx2exp or idx2exp[pid].opos[hi] is None:
+                    continue
+                if hi in idx2exp[pid].fail:
+                    panbed[pid, 3 + hi * 4 : 7 + hi * 4] = [None] * 4
+                    continue
+                gid = p2g[pid]
+                os_, oe = idx2exp[pid].opos[hi]
+                ns_, ne = idx2exp[pid].npos[hi]
+                dts = [os_ - ns_, ne - oe]
+                s, e = int(bed[gid, 1]), int(bed[gid, 2])
+                s -= dts[0]
+                e += dts[1]
+                f.write(f"{bed[gid, 0]}\t{s}\t{e}\t{bed[gid, 3]}\t"
+                        f"{bed[gid, 4]}\t{bed[gid, 5]}\t{bed[gid, 6]}\n")
+                panbed[pid, 3 + hi * 4 : 7 + hi * 4] = [
+                    bed[gid, 0], s, e, bed[gid, 6]]
+    np.savetxt(os.path.join(workdir, "pan.tr.mbe.v1.bed"), panbed[vi],
+               delimiter="\t", fmt="%s")

@@ -1,0 +1,26 @@
+"""MBE byte-exactness vs the reference script's golden outputs."""
+
+import os
+import shutil
+
+from danbing_tk_tpu.apps.mbe import run_mbe
+
+GOLD = os.path.join(os.path.dirname(__file__), "golden_mbe")
+
+
+def test_mbe_byte_exact(tmp_path):
+    for g in ("g0", "g1"):
+        os.makedirs(tmp_path / g)
+        for h in (0, 1):
+            shutil.copy(os.path.join(GOLD, g, f"tmp1.{h}.bed"),
+                        tmp_path / g / f"tmp1.{h}.bed")
+    shutil.copy(os.path.join(GOLD, "pan.tr.mbe.v0.bed"),
+                tmp_path / "pan.tr.mbe.v0.bed")
+    run_mbe(str(tmp_path), os.path.join(GOLD, "input"), ["g0", "g1"],
+            ksize=21, FS=50, TRWINDOW=500)
+    for fn in ["pan.tr.mbe.v1.bed", "locusMap.v1.to.v0.txt",
+               "g0/tmp2.0.mbe.bed", "g0/tmp2.1.mbe.bed",
+               "g1/tmp2.0.mbe.bed", "g1/tmp2.1.mbe.bed"]:
+        ours = (tmp_path / fn).read_bytes()
+        gold = open(os.path.join(GOLD, fn), "rb").read()
+        assert ours == gold, fn
