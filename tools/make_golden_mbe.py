@@ -19,7 +19,7 @@ ROOT = os.path.join(os.path.dirname(__file__), "..")
 OUT = os.path.join(ROOT, "tests", "golden_mbe")
 REF = "/root/reference/script"
 KSIZE, FS, TRWINDOW = 21, 50, 500
-NLOCI = 8
+NLOCI = 10  # loci 8 and 9 share a contig and collide after expansion
 GS = ["g0", "g1"]
 NH = 4
 BASES = "ACGT"
@@ -91,6 +91,7 @@ def main():
     beds = {}   # (hi) -> rows
     for hi in range(NH):
         recs, rows = [], []
+        shared = None  # loci 8+9 share one contig per hap
         for li in range(NLOCI):
             if not panmap[li, hi]:
                 rows.append(None)
@@ -98,6 +99,21 @@ def main():
             motif = loci[li]
             n = int(rng.integers(15, 40))
             tr = motif * n
+            if li == 8:
+                lf = rand_seq(rng, TRWINDOW + 60)
+                rf = rand_seq(rng, 30)  # close to locus 9 -> collision
+                shared = (f"ctgS_{hi}", lf + tr + rf, len(lf),
+                          len(lf) + len(tr))
+                rows.append((shared[0], shared[2], shared[3]))
+                continue
+            if li == 9:
+                assert shared is not None
+                base = shared[1]
+                s9 = len(base)
+                seq = base + tr + rand_seq(rng, TRWINDOW + 60)
+                recs.append((shared[0], seq))
+                rows.append((shared[0], s9, s9 + len(tr)))
+                continue
             lf = rand_seq(rng, TRWINDOW + 60)
             rf = rand_seq(rng, TRWINDOW + 60)
             if li % 2 == 0:
@@ -126,7 +142,9 @@ def main():
                         f.write(".\t.\t.\t.\t.\t.\t.\n")
                     else:
                         nm, s, e = row
-                        f.write(f"{nm}\t{s}\t{e}\tc3\tc4\tc5\t+\n")
+                        # col7 = strand-consistency flag (1/-1, per
+                        # liftbed.clean.py), parsed as int downstream
+                        f.write(f"{nm}\t{s}\t{e}\tc3\tc4\tc5\t1\n")
 
     with open(os.path.join(OUT, "genomes.txt"), "w") as f:
         for g in GS:
@@ -155,6 +173,22 @@ def main():
     )
     # drop the pickles (irrelevant binary intermediates)
     shutil.rmtree(os.path.join(OUT, "MBE"))
+
+    # --- collision scan (our bedops; both sides consume the same file) +
+    # reference mergeMBEbed.py for the v2 golden ---
+    sys.path.insert(0, ROOT)
+    from danbing_tk_tpu.utils.bedops import collision_scan, write_m0_loci
+
+    panbed_rows = [line.split("\t") for line in
+                   open(os.path.join(OUT, "pan.tr.mbe.v1.bed"))
+                   .read().splitlines()]
+    groups = collision_scan(panbed_rows, NH, dist=FS)
+    write_m0_loci(os.path.join(OUT, "mbe.m0.loci"), GS, groups)
+    subprocess.run(
+        [sys.executable, os.path.join(REF, "mergeMBEbed.py"),
+         "genomes.txt", "0.8"],
+        cwd=OUT, env=env, check=True,
+    )
     print("MBE golden written to", OUT, file=sys.stderr)
 
 
