@@ -66,7 +66,7 @@ class DeviceRPGG:
                            count=len(rpgg.dbi))
         vals = np.fromiter(rpgg.dbi.values(), dtype=np.uint32,
                            count=len(rpgg.dbi))
-        dbi_tab = dt.build_table(keys, vals)
+        dbi_tab = dt.build_bucket_table(keys, vals)
 
         # trfl composite table; TR slot ids follow the .trkmc.ar flatten
         # order (per-locus insertion order of pan.tr.kmers)
@@ -87,7 +87,7 @@ class DeviceRPGG:
                     tl.append(li)
                     tv.append(ANN_FL)
         offsets[rpgg.nloci] = slot
-        trfl_tab = dt.build_table(
+        trfl_tab = dt.build_bucket_table(
             np.array(tk, dtype=np.uint64), np.array(tv, dtype=np.uint32),
             np.array(tl, dtype=np.uint32))
 
@@ -99,7 +99,7 @@ class DeviceRPGG:
                     ek.append(e)
                     el.append(li)
             if ek:
-                tre_tab = dt.build_table(
+                tre_tab = dt.build_bucket_table(
                     np.array(ek, dtype=np.uint64),
                     np.ones(len(ek), dtype=np.uint32),
                     np.array(el, dtype=np.uint32))
@@ -155,17 +155,12 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
     E = expand_cap
     nloci = drp.nloci
 
-    t_dbi = tuple(jnp.asarray(x) for x in
-                  (drp.dbi_tab.key_lo, drp.dbi_tab.key_hi, drp.dbi_tab.val))
+    dbi_lv = [(jnp.asarray(t), s) for t, s in drp.dbi_tab.levels]
     vv = jnp.asarray(drp.vv)
-    t_trfl = tuple(jnp.asarray(x) for x in
-                   (drp.trfl_tab.key_lo, drp.trfl_tab.key_hi,
-                    drp.trfl_tab.locus, drp.trfl_tab.val))
-    t_tre = None
+    trfl_lv = [(jnp.asarray(t), s) for t, s in drp.trfl_tab.levels]
+    tre_lv = None
     if with_bubbles and drp.tre_tab is not None:
-        t_tre = tuple(jnp.asarray(x) for x in
-                      (drp.tre_tab.key_lo, drp.tre_tab.key_hi,
-                       drp.tre_tab.locus, drp.tre_tab.val))
+        tre_lv = [(jnp.asarray(t), s) for t, s in drp.tre_tab.levels]
 
     def step(state, codes, rlen, live):
         ex = extract_kmers_edges(codes, rlen, k)
@@ -173,11 +168,9 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
         nk = ex["nk"]                      # (2P,)
         any_valid = ex["any_valid"]
 
-        found, val = dt.lookup_jax(
-            t_dbi[0], t_dbi[1], t_dbi[2],
-            klo.reshape(-1), khi.reshape(-1), drp.dbi_tab.max_probes)
-        found = found.reshape(2 * P, NKW) & kvalid
-        val = val.reshape(2 * P, NKW)
+        found, val = dt.lookup_bucket_jax(
+            drp.dbi_tab, klo, khi, levels_dev=dbi_lv)
+        found = found & kvalid
 
         pair_nonshort = (any_valid.reshape(P, 2).all(axis=1)) & live
 
@@ -239,16 +232,22 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
                              vv.shape[0] - 1)], 1)
         nmapped = jnp.where(run_valid, nmapped, 0).astype(jnp.int32)
 
-        # CSR expansion of loci lists into E slots per pair
+        # CSR expansion of loci lists into E slots per pair: scatter each
+        # run id at its start offset, then a running max assigns every slot
+        # its covering run (replaces per-slot binary search)
         csum = jnp.cumsum(nmapped, axis=-1)
         total = csum[:, -1]
         overflow = total > E
         starts = csum - nmapped
         eidx = jnp.arange(E, dtype=jnp.int32)[None, :]
-        erun = jax.vmap(
-            lambda c, q: jnp.searchsorted(c, q, side="right"))(
-                csum, eidx.repeat(P, 0))
-        erun = jnp.clip(erun, 0, W - 1)
+        can_scatter = run_valid & (nmapped > 0) & (starts < E)
+        rid_w = jnp.arange(W, dtype=jnp.int32)[None, :].repeat(P, 0)
+        rowsW = jnp.arange(P, dtype=jnp.int32)[:, None].repeat(W, 1)
+        erun0 = jnp.full((P, E), -1, jnp.int32).at[
+            rowsW, jnp.where(can_scatter, jnp.clip(starts, 0, E - 1),
+                             E - 1)].max(
+            jnp.where(can_scatter, rid_w, -1))
+        erun = jnp.clip(_cummax(erun0), 0, W - 1)
         evalid_exp = eidx < jnp.minimum(total, E)[:, None]
         e_rval = jnp.take_along_axis(rval, erun, axis=-1)
         e_off = eidx - jnp.take_along_axis(starts, erun, axis=-1)
@@ -305,14 +304,11 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
 
         # ---- TR/flank annotation vs dst0 ----
         dst0_read = dst0[:, None].repeat(2, 1).reshape(-1)  # (2P,)
-        q_loc = dst0_read[:, None].repeat(NKW, 1).reshape(-1)
-        afound, aval = dt.lookup_jax(
-            t_trfl[0], t_trfl[1], t_trfl[3],
-            klo.reshape(-1), khi.reshape(-1), drp.trfl_tab.max_probes,
-            t_loc=t_trfl[2], q_loc=q_loc)
-        afound = afound.reshape(2 * P, NKW) & kvalid
+        q_loc = dst0_read[:, None].repeat(NKW, 1)
+        afound, aval = dt.lookup_bucket_jax(
+            drp.trfl_tab, klo, khi, q_loc=q_loc, levels_dev=trfl_lv)
+        afound = afound & kvalid
         afound = afound & dev_pair.repeat(2)[:, None]
-        aval = aval.reshape(2 * P, NKW)
         ann = jnp.where(
             afound,
             jnp.where((aval & 3) == ANN_TR, 2, 1).astype(jnp.int32),
@@ -433,14 +429,10 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
         )
         if with_annot:
             out["ann"] = ann.astype(jnp.uint8)
-        if t_tre is not None:
-            efound, _ = dt.lookup_jax(
-                t_tre[0], t_tre[1], t_tre[3],
-                ex["elo"].reshape(-1), ex["ehi"].reshape(-1),
-                drp.tre_tab.max_probes,
-                t_loc=t_tre[2],
-                q_loc=dst0_read[:, None].repeat(NE, 1).reshape(-1))
-            efound = efound.reshape(2 * P, NE)
+        if tre_lv is not None:
+            efound, _ = dt.lookup_bucket_jax(
+                drp.tre_tab, ex["elo"], ex["ehi"],
+                q_loc=dst0_read[:, None].repeat(NE, 1), levels_dev=tre_lv)
             pos_e = jnp.arange(NE, dtype=jnp.int32)[None, :]
             in_seg = (pos_e >= si_[:, None]) & (pos_e < (ei_ - 1)[:, None])
             novel = (~efound) & ex["evalid"] & in_seg & (rm == 0)[:, None]

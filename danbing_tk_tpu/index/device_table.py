@@ -160,6 +160,151 @@ def lookup_np(tab: OATable, keys: np.ndarray,
 
 # ---------------- JAX probe ----------------
 
+# ---------------- Bucketized multi-level table (TPU fast path) ----------
+#
+# Linear probing needs a data-dependent probe loop (max displacement ~50 at
+# load 0.6), which on TPU costs one HBM gather round per probe for EVERY
+# lane.  The bucketized layout instead packs ~lambda keys per 8-slot bucket
+# in ONE contiguous row, so a single gather fetches all candidates;
+# overflowing keys cascade into geometrically smaller levels (2-3 total).
+# Lookup = one wide gather per level, fully vectorized, no loops.
+
+BUCKET = 8
+
+
+def _salted_hash_np(lo, hi, locus, salt: int):
+    s = np.uint32((0x9E3779B9 * (salt + 1)) & 0xFFFFFFFF)
+    h = _mix32_np(np.asarray(hi, np.uint32) ^ s)
+    if locus is not None:
+        h = _mix32_np(h ^ np.asarray(locus, np.uint32))
+    return _mix32_np(np.asarray(lo, np.uint32) ^ h)
+
+
+class BucketTable:
+    """levels: list of (packed (nb, BUCKET, W) u32, salt). W = 3 for plain
+    keys (lo, hi, val), 4 for composite (lo, hi, locus, val)."""
+
+    def __init__(self, levels, composite: bool):
+        self.levels = levels
+        self.composite = composite
+
+    @property
+    def nbytes(self):
+        return sum(t.nbytes for t, _ in self.levels)
+
+
+def build_bucket_table(keys, vals, loci=None, lam: float = 5.0,
+                       max_levels: int = 8) -> BucketTable:
+    keys = np.asarray(keys, dtype=np.uint64)
+    vals = np.asarray(vals, dtype=np.uint32)
+    composite = loci is not None
+    W = 4 if composite else 3
+    lo = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (keys >> np.uint64(32)).astype(np.uint32)
+    loc = None if loci is None else np.asarray(loci, dtype=np.uint32)
+
+    idx = np.arange(len(keys))
+    levels = []
+    salt = 0
+    while len(idx):
+        assert salt < max_levels, "bucket table cascade diverged"
+        nb = 64
+        while nb * lam < len(idx):
+            nb *= 2
+        b = _salted_hash_np(lo[idx], hi[idx],
+                            None if loc is None else loc[idx],
+                            salt) & np.uint32(nb - 1)
+        order = np.argsort(b, kind="stable")
+        b_sorted = b[order]
+        # rank within bucket
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = b_sorted[1:] != b_sorted[:-1]
+        grp = np.cumsum(first) - 1
+        pos = np.arange(len(order)) - np.flatnonzero(first)[grp]
+        fits = pos < BUCKET
+        tab = np.full((nb, BUCKET, W), EMPTY, dtype=np.uint32)
+        sel = idx[order[fits]]
+        bb = b_sorted[fits]
+        pp = pos[fits]
+        tab[bb, pp, 0] = lo[sel]
+        tab[bb, pp, 1] = hi[sel]
+        if composite:
+            tab[bb, pp, 2] = loc[sel]
+        tab[bb, pp, W - 1] = vals[sel]
+        levels.append((tab, salt))
+        idx = idx[order[~fits]]
+        salt += 1
+    return BucketTable(levels, composite)
+
+
+def lookup_bucket_np(tab: BucketTable, keys, loci=None):
+    keys = np.asarray(keys, dtype=np.uint64)
+    lo = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (keys >> np.uint64(32)).astype(np.uint32)
+    loc = None if loci is None else np.asarray(loci, dtype=np.uint32)
+    W = 4 if tab.composite else 3
+    found = np.zeros(len(keys), dtype=bool)
+    val = np.zeros(len(keys), dtype=np.uint32)
+    for t, salt in tab.levels:
+        nb = t.shape[0]
+        b = _salted_hash_np(lo, hi, loc, salt) & np.uint32(nb - 1)
+        rows = t[b]                      # (N, BUCKET, W)
+        m = (rows[:, :, 0] == lo[:, None]) & (rows[:, :, 1] == hi[:, None])
+        if tab.composite:
+            m &= rows[:, :, 2] == loc[:, None]
+        hit = m.any(axis=1)
+        v = np.where(m, rows[:, :, W - 1], 0).max(axis=1)
+        new = hit & ~found
+        val[new] = v[new]
+        found |= hit
+    return found, val
+
+
+def lookup_bucket_jax(tab: BucketTable, q_lo, q_hi, q_loc=None,
+                      levels_dev=None):
+    """Device probe: one gather per level (2-3 total), no loops.
+
+    levels_dev: optional pre-uploaded [(jnp tab, salt)] to avoid re-upload.
+    EMPTY-key queries never match (EMPTY slots hold EMPTY in the locus
+    plane too, but a real query's (lo,hi) can't be all-ones for k<=31).
+    """
+    import jax.numpy as jnp
+
+    W = 4 if tab.composite else 3
+    levels = levels_dev if levels_dev is not None else [
+        (jnp.asarray(t), s) for t, s in tab.levels]
+
+    def mix32(x):
+        x = x.astype(jnp.uint32)
+        x = x ^ (x >> 16)
+        x = x * np.uint32(0x7FEB352D)
+        x = x ^ (x >> 15)
+        x = x * np.uint32(0x846CA68B)
+        x = x ^ (x >> 16)
+        return x
+
+    found = jnp.zeros(q_lo.shape, dtype=jnp.bool_)
+    val = jnp.zeros(q_lo.shape, dtype=jnp.uint32)
+    for t, salt in levels:
+        nb = t.shape[0]
+        s = np.uint32((0x9E3779B9 * (salt + 1)) & 0xFFFFFFFF)
+        h = mix32(q_hi ^ s)
+        if q_loc is not None:
+            h = mix32(h ^ q_loc.astype(jnp.uint32))
+        b = (mix32(q_lo ^ h) & np.uint32(nb - 1)).astype(jnp.int32)
+        rows = t[b]                      # (..., BUCKET, W)
+        m = (rows[..., 0] == q_lo[..., None]) & \
+            (rows[..., 1] == q_hi[..., None])
+        if tab.composite:
+            m &= rows[..., 2] == q_loc[..., None]
+        hit = m.any(axis=-1)
+        v = jnp.where(m, rows[..., W - 1], 0).max(axis=-1)
+        new = hit & ~found
+        val = jnp.where(new, v, val)
+        found = found | hit
+    return found, val
+
+
 def lookup_jax(t_lo, t_hi, t_val, q_lo, q_hi, max_probes: int,
                t_loc=None, q_loc=None):
     """Vectorized device probe: returns (found bool[...], val u32[...]).
