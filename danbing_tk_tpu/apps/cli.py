@@ -1,0 +1,226 @@
+"""Command-line interface (L4): `python -m danbing_tk_tpu <cmd> ...`
+
+Mirrors the reference binaries' CLIs (danbing-tk align, fa2kmers,
+genPanKmers, ktools, danbing-tk-pred, baitBuilder, sim_reads, bam2pe,
+mapkmers) plus the build/call pipelines.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _cmd_align(args):
+    from ..engine.host_align import AlignConfig, HostAligner, RPGG
+
+    cfg = AlignConfig(
+        ksize=args.k, cth=args.cth, n_filter=args.kf[0],
+        nm_filter=args.kf[1], nm_tr=args.c, okam=not args.ka,
+        bait=args.b, qc=bool(args.qc), simmode=args.s,
+        output_bubbles=args.bu, is_fastq=args.fq is not None,
+        threading=bool(args.gc or args.g), aln=args.a or args.ae,
+        aln_minimal=args.ae,
+        thread_cth=(args.gc or args.g or [100])[0],
+        maxncorrection=(args.gc[1] if args.gc and len(args.gc) > 1 else 4),
+        correction=bool(args.gc),
+    )
+    rpgg = RPGG(args.qs, bait=args.b, qc_file=args.qc)
+    if args.device and not cfg.threading and not cfg.bait:
+        from ..engine.align_runner import DeviceAlignRunner
+
+        al = DeviceAlignRunner(rpgg, cfg)
+    else:
+        al = HostAligner(rpgg, cfg)
+    al.run_file(args.fa or args.fq)
+    pref = args.o or args.on
+    if args.on:
+        al.write_tr_kmers(pref + ".tr.kmers")
+    else:
+        al.write_trkmc_ar(pref + ".trkmc.ar")
+        if not cfg.threading:
+            al.write_summary(pref + ".tr.summary.txt")
+    if cfg.okam and not cfg.threading:
+        al.write_kam(pref + ".kam")
+    if cfg.aln:
+        al.write_aln(pref + ".aln")
+    if cfg.output_bubbles:
+        al.write_bubbles(pref + ".bub.kmdb")
+    print(f"align done -> {pref}", file=sys.stderr)
+
+
+def _cmd_build(args):
+    from ..pipeline.build import build_rpgg
+
+    gs = [line.split()[0] for line in open(args.genomes)]
+    pan = build_rpgg(args.workdir, args.indir, gs, args.refTR, ksize=args.k,
+                     FS=args.fs, TRWINDOW=args.trwindow,
+                     dist_merge=args.dist_merge)
+    print(pan)
+
+
+def _cmd_serialize(args):
+    from ..index.dbi import serialize
+
+    serialize(args.pref)
+
+
+def _cmd_fa2kmers(args):
+    from ..apps.fa2kmers import fa2kmers, make_tre_kmers
+
+    fa2kmers(args.o, args.fa, k=args.k, fsi=args.fsi, fso=args.fso,
+             gen_graph=args.g, tr_only=args.tr, threshold=args.th)
+    if args.tre:
+        make_tre_kmers(args.o, args.fa, args.k, args.fsi)
+
+
+def _cmd_genpankmers(args):
+    from ..apps.genpankmers import gen_pan_kmers
+
+    gen_pan_kmers(args.o, args.k,
+                  ortho_map=None if args.m == "-" else args.m)
+
+
+def _cmd_pred(args):
+    from ..analysis.pred import run_pred
+
+    run_pred(args.gt_meta, args.ikmer_meta, args.out_raw, args.out,
+             args.out_bias, use_jax=args.jax)
+
+
+def _cmd_bait(args):
+    from ..apps.baitbuilder import build_profiles, enrichment_filter
+
+    if args.mode == "v1.pf":
+        build_profiles(args.kam, args.nloci, args.k, args.out,
+                       tp_only=args.tp)
+    else:
+        enrichment_filter(args.nloci, args.k, args.out, args.fp_pf,
+                          args.tp_pfs)
+
+
+def _cmd_simreads(args):
+    from ..apps.sim_reads import sim_reads
+
+    sim_reads(args.i, sys.stdout, cov=args.c, flen=args.fs, rlen=args.rlen,
+              min_ctg_len=args.ml, uni=args.uni, bed=args.bed,
+              seed=args.seed)
+
+
+def _cmd_bam2pe(args):
+    from ..apps.bam2pe import bam2pe
+
+    with open(args.fai) as f:
+        bam2pe(f, sys.stdout)
+
+
+def _cmd_bench(args):
+    import runpy
+
+    runpy.run_path("bench.py", run_name="__main__")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="danbing-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    a = sub.add_parser("align", help="genotype SRS reads against an RPGG")
+    a.add_argument("-fa")
+    a.add_argument("-fq")
+    a.add_argument("-qs", required=True)
+    a.add_argument("-o")
+    a.add_argument("-on")
+    a.add_argument("-k", type=int, default=21)
+    a.add_argument("-kf", type=int, nargs=2, default=[4, 1])
+    a.add_argument("-cth", type=int, default=10)
+    a.add_argument("-c", type=int, default=40)
+    a.add_argument("-b", action="store_true")
+    a.add_argument("-qc")
+    a.add_argument("-bu", action="store_true")
+    a.add_argument("-ka", action="store_true")
+    a.add_argument("-s", type=int, default=0)
+    a.add_argument("-g", type=int, nargs="*")
+    a.add_argument("-gc", type=int, nargs="*")
+    a.add_argument("-a", action="store_true")
+    a.add_argument("-ae", action="store_true")
+    a.add_argument("--device", action="store_true",
+                   help="run the TPU device engine")
+    a.set_defaults(fn=_cmd_align)
+
+    b = sub.add_parser("build", help="build an RPGG from assemblies+beds")
+    b.add_argument("workdir")
+    b.add_argument("indir")
+    b.add_argument("genomes")
+    b.add_argument("refTR")
+    b.add_argument("-k", type=int, default=21)
+    b.add_argument("-fs", type=int, default=700)
+    b.add_argument("--trwindow", type=int, default=100000)
+    b.add_argument("--dist-merge", type=int, default=700)
+    b.set_defaults(fn=_cmd_build)
+
+    s = sub.add_parser("serialize", help="ktools serialize equivalent")
+    s.add_argument("pref")
+    s.set_defaults(fn=_cmd_serialize)
+
+    f = sub.add_parser("fa2kmers")
+    f.add_argument("-o", required=True)
+    f.add_argument("-fa", nargs="+", required=True)
+    f.add_argument("-k", type=int, default=21)
+    f.add_argument("-fsi", type=int, default=700)
+    f.add_argument("-fso", type=int, default=700)
+    f.add_argument("-g", action="store_true")
+    f.add_argument("-tr", action="store_true")
+    f.add_argument("-th", type=int, default=0)
+    f.add_argument("--tre", action="store_true")
+    f.set_defaults(fn=_cmd_fa2kmers)
+
+    g = sub.add_parser("genpankmers")
+    g.add_argument("-o", required=True)
+    g.add_argument("-m", default="-")
+    g.add_argument("-k", nargs="+", required=True)
+    g.set_defaults(fn=_cmd_genpankmers)
+
+    pr = sub.add_parser("pred", help="bias correction")
+    pr.add_argument("gt_meta")
+    pr.add_argument("ikmer_meta")
+    pr.add_argument("out_raw")
+    pr.add_argument("out")
+    pr.add_argument("out_bias")
+    pr.add_argument("--jax", action="store_true")
+    pr.set_defaults(fn=_cmd_pred)
+
+    bt = sub.add_parser("baitbuilder")
+    bt.add_argument("mode", choices=["v1.pf", "v2"])
+    bt.add_argument("--kam")
+    bt.add_argument("--nloci", type=int, required=True)
+    bt.add_argument("-k", type=int, default=21)
+    bt.add_argument("--out", required=True)
+    bt.add_argument("--tp", action="store_true")
+    bt.add_argument("--fp-pf")
+    bt.add_argument("--tp-pfs", nargs="+")
+    bt.set_defaults(fn=_cmd_bait)
+
+    sr = sub.add_parser("simreads")
+    sr.add_argument("-i", required=True)
+    sr.add_argument("-c", type=int, default=15)
+    sr.add_argument("-fs", type=int, default=500)
+    sr.add_argument("-rlen", type=int, default=150)
+    sr.add_argument("-ml", type=int, default=50000)
+    sr.add_argument("-uni", action="store_true")
+    sr.add_argument("-bed", action="store_true")
+    sr.add_argument("--seed", type=int, default=0)
+    sr.set_defaults(fn=_cmd_simreads)
+
+    bp = sub.add_parser("bam2pe")
+    bp.add_argument("-fai", required=True)
+    bp.set_defaults(fn=_cmd_bam2pe)
+
+    be = sub.add_parser("bench")
+    be.set_defaults(fn=_cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,157 @@
+"""RPGG build orchestration (L6) — replaces the reference's Snakemake DAG
+(pipeline/GoodPanGenomeGraph.snakefile) with plain Python steps.
+
+Stages (JointTRAnnotation onward; upstream whole-genome liftover needs an
+external aligner exactly as in the reference -- minimap2/paftools -- and
+consumes their output beds):
+
+  1. support counts   : refTR bed + per-hap tmp1 beds -> pan.tr.mbe.v0.bed
+                        (bedtools map -c 1 -o count equivalent)
+  2. MBE              : joint boundary expansion -> pan.tr.mbe.v1.bed
+  3. collision scan   : merged-region groups -> mbe.m0.loci
+  4. mergeMBEbed      : -> pan.tr.mbe.v2.bed + OrthoMap.v2.tsv
+  5. SelectRegions    : TR +/- FS windows -> per-hap tr fastas
+  6. fa2kmers         : per-genome {tr,fl,graph}.kmers (+tre)
+  7. genPanKmers      : pan merge
+  8. serialize        : pan.kmers.dbi / .fl.kdb / .tre.kdb
+
+Each stage writes a sentinel under <workdir>/checkpoint/ and is skipped on
+re-run (the reference's Snakemake resume granularity, SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..apps.fa2kmers import fa2kmers, make_tre_kmers
+from ..apps.genpankmers import gen_pan_kmers, read_ortho_map
+from ..apps.mbe import run_mbe
+from ..apps.merge_mbe import write_bed_merge_mbe
+from ..apps.select_regions import select_regions
+from ..index import dbi as dbi_mod
+from ..utils.bedops import bed_map_count, collision_scan, write_m0_loci
+
+
+def _sentinel(workdir: str, name: str) -> str:
+    os.makedirs(os.path.join(workdir, "checkpoint"), exist_ok=True)
+    return os.path.join(workdir, "checkpoint", name + ".done")
+
+
+def _step(workdir: str, name: str, fn, force: bool = False):
+    s = _sentinel(workdir, name)
+    if os.path.exists(s) and not force:
+        print(f"[build] {name}: cached")
+        return
+    print(f"[build] {name}: running")
+    fn()
+    open(s, "w").close()
+
+
+def build_rpgg(workdir: str, indir: str, gs: list[str], ref_tr_bed: str,
+               ksize: int = 21, FS: int = 700, TRWINDOW: int = 100000,
+               dist_merge: int = 700, th1: float = 0.1, th2: float = 0.8,
+               ignore_case: bool = True, force: bool = False):
+    """Runs the full build; returns the pan prefix path."""
+    nh = 2 * len(gs)
+    os.makedirs(workdir, exist_ok=True)
+
+    def support_counts():
+        ref = [line.split()[:3] for line in open(ref_tr_bed)]
+        cols = [ref]
+        for g in gs:
+            for h in (0, 1):
+                rows = [line.split() for line in
+                        open(os.path.join(workdir, g, f"tmp1.{h}.bed"))]
+                b = [(r[3], r[4], r[5]) for r in rows if r[0] != "."]
+                cols.append(bed_map_count(ref, b))
+        with open(os.path.join(workdir, "pan.tr.mbe.v0.bed"), "w") as f:
+            for i in range(len(ref)):
+                row = list(ref[i]) + [str(c[i]) for c in cols[1:]]
+                f.write("\t".join(row) + "\n")
+
+    _step(workdir, "support", support_counts, force)
+    _step(workdir, "mbe", lambda: run_mbe(
+        workdir, indir, gs, ksize, FS, TRWINDOW, th1, th2, ignore_case),
+        force)
+
+    def collide():
+        rows = [line.split("\t") for line in
+                open(os.path.join(workdir, "pan.tr.mbe.v1.bed"))
+                .read().splitlines()]
+        groups = collision_scan(rows, nh, dist_merge)
+        write_m0_loci(os.path.join(workdir, "mbe.m0.loci"), gs, groups)
+
+    _step(workdir, "collision", collide, force)
+    _step(workdir, "merge", lambda: write_bed_merge_mbe(
+        workdir, len(gs), th2), force)
+
+    def trfa():
+        os.makedirs(os.path.join(workdir, "trfa"), exist_ok=True)
+        v2 = [line.split("\t") for line in
+              open(os.path.join(workdir, "pan.tr.mbe.v2.bed"))
+              .read().splitlines()]
+        hi = 0
+        for g in gs:
+            for h in (0, 1):
+                bed = os.path.join(workdir, "trfa", f"{g}.{h}.bed")
+                with open(bed, "w") as f:
+                    for cols in v2:
+                        c, s, e = cols[3 + 4 * hi : 6 + 4 * hi]
+                        if c == "None":
+                            continue
+                        f.write(f"{c}\t{int(s) - FS}\t{int(e) + FS}\n")
+                select_regions(
+                    bed, os.path.join(indir, f"{g}.{h}.fa"),
+                    os.path.join(workdir, "trfa", f"{g}.{h}.tr.fasta"))
+                hi += 1
+
+    _step(workdir, "trfa", trfa, force)
+
+    def genome_kmers():
+        omap = read_ortho_map(os.path.join(workdir, "OrthoMap.v2.tsv"), nh)
+        nloci = len(omap)
+        for gi, g in enumerate(gs):
+            fas = [os.path.join(workdir, "trfa", f"{g}.{h}.tr.fasta")
+                   for h in (0, 1)]
+            gmap = [[omap[li][2 * gi + h] for h in (0, 1)]
+                    for li in range(nloci)]
+            fa2kmers(os.path.join(workdir, f"{g}.PB"), fas, k=ksize,
+                     fsi=FS, fso=FS, orthomap=gmap, nloci=nloci)
+            make_tre_kmers_mapped(
+                os.path.join(workdir, f"{g}.PB"), fas, gmap, nloci,
+                ksize, FS)
+
+    _step(workdir, "genome_kmers", genome_kmers, force)
+    _step(workdir, "pan_kmers", lambda: gen_pan_kmers(
+        os.path.join(workdir, "pan"),
+        [os.path.join(workdir, f"{g}.PB") for g in gs]), force)
+    _step(workdir, "serialize", lambda: dbi_mod.serialize(
+        os.path.join(workdir, "pan")), force)
+    return os.path.join(workdir, "pan")
+
+
+def make_tre_kmers_mapped(out_pref, fastas, orthomap, nloci, k, fsi):
+    """Per-genome TR (k+1)-mers with orthology-mapped loci."""
+    from ..apps.fa2kmers import read_fasta_seqs
+    from ..ops import kmers_np as K
+
+    tre = [set() for _ in range(nloci)]
+    for h, path in enumerate(fastas):
+        locus = 0
+        for seq in read_fasta_seqs(path):
+            while not orthomap[locus][h]:
+                locus += 1
+            codes = K.encode_bases(seq.upper())
+            kms = K.seq_to_kmers(codes, k + 1, canonical=True)
+            lo, hi = fsi, len(codes) - fsi - (k + 1) + 1
+            for km in kms[lo:hi]:
+                if km != K.NAN64:
+                    tre[locus].add(int(km))
+            locus += 1
+    with open(out_pref + ".tre.kmers", "w") as f:
+        for li in range(nloci):
+            f.write(f">{li}\n")
+            for km in sorted(tre[li]):
+                f.write(f"{km}\n")

@@ -1,0 +1,23 @@
+"""CLI smoke: align subcommand reproduces golden outputs."""
+
+import os
+import subprocess
+import sys
+
+
+def test_cli_align(golden_dir, tmp_path):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = tmp_path / "out"
+    r = subprocess.run(
+        [sys.executable, "-m", "danbing_tk_tpu", "align",
+         "-k", "21", "-qs", os.path.join(golden_dir, "pan"),
+         "-fa", os.path.join(golden_dir, "reads.fa"),
+         "-cth", "20", "-kf", "4", "1", "-on", str(out)],
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+        env=env, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (tmp_path / "out.tr.kmers").read_bytes() == open(
+        os.path.join(golden_dir, "out.on.tr.kmers"), "rb").read()
+    assert (tmp_path / "out.kam").read_bytes() == open(
+        os.path.join(golden_dir, "out.kam"), "rb").read()
