@@ -10,6 +10,8 @@ RPGG's dicts), so the final genotype is device_counts + host_counts.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
@@ -20,6 +22,14 @@ from ..utils.stdumap import StdUmapOrder
 from . import device_align as da
 from .host_align import (AlignConfig, HostAligner, RPGG, annot2str,
                          iter_fasta_pairs, _kam_row, ReadAsgn)
+
+
+_DECODE = np.full(256, ord("N"), dtype=np.uint8)
+_DECODE[:4] = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def _decode(codes: np.ndarray, rlen: int) -> str:
+    return _DECODE[codes[:rlen]].tobytes().decode()
 
 
 class DeviceAlignRunner:
@@ -42,16 +52,111 @@ class DeviceAlignRunner:
 
     # -- batching --
 
-    def run_file(self, path: str):
+    def run_file_native(self, path: str, checkpoint: str | None = None,
+                        checkpoint_every: int = 1_000_000):
+        """Production ingest: the C reader packs batches directly; read
+        strings are only materialized (decoded from the 2-bit codes) for
+        referee-flagged pairs."""
         cfg = self.cfg
+        assert not cfg.okam and not cfg.output_bubbles and \
+            not cfg.simmode, "native path covers counting mode"
+        from ..io.native_reader import NativeBatchReader
+
+        done = self._load_checkpoint(checkpoint) if checkpoint else 0
+        cursor = 0
+        since = 0
+        reader = NativeBatchReader(
+            path, self.P, self.L, is_fastq=cfg.is_fastq,
+            min_read_size=cfg.cth + cfg.ksize - 1, with_titles=False)
+        for codes, rlen, n, _ in reader:
+            if cursor + n <= done:
+                cursor += n
+                continue
+            live = np.zeros(self.P, dtype=bool)
+            live[:n] = True
+            self.state, out = self.step(self.state, codes, rlen, live)
+            referee = np.asarray(out["referee"])[:n]
+            for i in np.nonzero(referee)[0]:
+                self.n_referee += 1
+                s1 = _decode(codes[2 * i], rlen[2 * i])
+                s2 = _decode(codes[2 * i + 1], rlen[2 * i + 1])
+                self.host.process_pair(">r", s1, s2, -1)
+            cursor += n
+            since += n
+            if checkpoint and since >= checkpoint_every:
+                self._save_checkpoint(checkpoint, cursor)
+                since = 0
+        self.host.flush_batch()
+        if checkpoint and since:
+            self._save_checkpoint(checkpoint, cursor)
+
+    def run_file(self, path: str, checkpoint: str | None = None,
+                 checkpoint_every: int = 1_000_000):
+        """Stream the file; with ``checkpoint`` set, periodically persist
+        the count state (genotype state is just int arrays, SURVEY §5) and
+        resume from the last saved pair cursor after a crash.
+
+        Checkpointing supports the production counting mode (no kam/bubble
+        side outputs)."""
+        cfg = self.cfg
+        if checkpoint is not None:
+            assert not cfg.okam and not cfg.output_bubbles, \
+                "checkpointing covers counting mode only"
+        done = self._load_checkpoint(checkpoint) if checkpoint else 0
+        cursor = 0
+        since = 0
         min_read_size = cfg.cth + cfg.ksize - 1
         for batch in iter_fasta_pairs(
             path, min_read_size, self.rpgg.nloci, cfg.simmode,
             cfg.reads_per_batch // 2,
         ):
             for i in range(0, len(batch), self.P):
-                self._run_chunk(batch[i : i + self.P])
+                chunk = batch[i : i + self.P]
+                if cursor + len(chunk) <= done:
+                    cursor += len(chunk)
+                    continue
+                assert cursor >= done, "checkpoint not chunk-aligned"
+                self._run_chunk(chunk)
+                cursor += len(chunk)
+                since += len(chunk)
+                if checkpoint and since >= checkpoint_every:
+                    self._save_checkpoint(checkpoint, cursor)
+                    since = 0
             self.host.flush_batch()
+        if checkpoint and since:
+            self._save_checkpoint(checkpoint, cursor)
+
+    def _save_checkpoint(self, path: str, cursor: int):
+        import numpy as _np
+
+        state = {k: np.asarray(v) for k, v in self.state.items()}
+        _np.savez(path + ".tmp.npz", cursor=cursor,
+                  host_counts=self.host.flat_counts(),
+                  host_nmapread=self.host.nmapread,
+                  host_kmc=self.host.kmc, n_referee=self.n_referee,
+                  **{f"dev_{k}": v for k, v in state.items()})
+        os.replace(path + ".tmp.npz", path)
+
+    def _load_checkpoint(self, path: str) -> int:
+        if not os.path.exists(path):
+            return 0
+        z = np.load(path)
+        import jax.numpy as jnp
+
+        self.state = {k[4:]: jnp.asarray(z[k]) for k in z.files
+                      if k.startswith("dev_")}
+        # restore host-side (referee) counts into the shared RPGG dicts
+        flat = z["host_counts"]
+        p = 0
+        for li in range(self.rpgg.nloci):
+            cnt = self.rpgg.tr_counts[li]
+            for km in self.rpgg.tr_orders[li]:
+                cnt[km] = int(flat[p])
+                p += 1
+        self.host.nmapread = z["host_nmapread"].copy()
+        self.host.kmc = z["host_kmc"].copy()
+        self.n_referee = int(z["n_referee"])
+        return int(z["cursor"])
 
     def _run_chunk(self, pairs):
         n = len(pairs)

@@ -1,0 +1,80 @@
+"""ctypes binding for the native streaming pair reader (production IO).
+
+Yields pre-packed (codes (2P,L) u8, rlen (2P,) i32, titles list) batches at
+C speed; behaviorally identical to engine.host_align.iter_fasta_pairs +
+pack (same pairing map semantics, same pair order).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_ROOT = os.path.join(os.path.dirname(__file__), "..", "..")
+_LIBPATH = os.path.join(_ROOT, "build", "libdtk_native.so")
+_lib = None
+
+
+def _native():
+    global _lib
+    if _lib is None:
+        src = os.path.join(_ROOT, "native", "dtk_native.cpp")
+        if (not os.path.exists(_LIBPATH)
+                or os.path.getmtime(_LIBPATH) < os.path.getmtime(src)):
+            subprocess.run(["make", "-C", os.path.join(_ROOT, "native")],
+                           check=True)
+        _lib = ctypes.CDLL(_LIBPATH)
+        _lib.dtk_reader_open.restype = ctypes.c_void_p
+        _lib.dtk_reader_open.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                         ctypes.c_int]
+        _lib.dtk_reader_next_batch.restype = ctypes.c_int64
+        _lib.dtk_reader_next_batch.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int64]
+        _lib.dtk_reader_close.argtypes = [ctypes.c_void_p]
+    return _lib
+
+
+class NativeBatchReader:
+    TITLE_STRIDE = 256
+
+    def __init__(self, path: str, P: int, L: int, is_fastq: bool = False,
+                 min_read_size: int = 0, with_titles: bool = True):
+        lib = _native()
+        self.lib = lib
+        self.P, self.L = P, L
+        self.with_titles = with_titles
+        self.h = lib.dtk_reader_open(path.encode(), int(is_fastq),
+                                     min_read_size)
+        if not self.h:
+            raise FileNotFoundError(path)
+
+    def __iter__(self):
+        lib = self.lib
+        P, L = self.P, self.L
+        while True:
+            codes = np.full((2 * P, L), 255, dtype=np.uint8)
+            rlen = np.zeros(2 * P, dtype=np.int32)
+            tbuf = ctypes.create_string_buffer(P * self.TITLE_STRIDE) \
+                if self.with_titles else None
+            n = lib.dtk_reader_next_batch(
+                self.h, codes.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_uint8)),
+                rlen.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                P, L, tbuf, self.TITLE_STRIDE)
+            if n == 0:
+                break
+            titles = None
+            if self.with_titles:
+                titles = [
+                    ctypes.string_at(
+                        ctypes.addressof(tbuf) + i * self.TITLE_STRIDE
+                    ).decode()
+                    for i in range(n)]
+            yield codes, rlen, int(n), titles
+        lib.dtk_reader_close(self.h)
+        self.h = None

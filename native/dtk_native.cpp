@@ -11,10 +11,23 @@
 //       early-stopped locus-voting scan, so bit-exact .kam/.tr.kmers output
 //       requires the real libstdc++ algorithm.
 //
+//   dtk_reader_*  : streaming FASTA/FASTQ pair reader + 2-bit packer.
+//       Replaces the aligner's Python ingest loop: pairs a
+//       `samtools fasta -n` stream via a title hashmap (second occurrence
+//       first, mirroring the reference reader semantics) and packs bases
+//       into fixed (2P, L) u8 batches ready for device upload.  This is
+//       the production IO path; Python ingest tops out far below TPU
+//       consumption rate.
+//
 // Everything else in the host engine is pure Python/numpy or JAX.
 #include <algorithm>
 #include <cstdint>
+#include <cstdio>
+#include <cstring>
 #include <numeric>
+#include <string>
+#include <unordered_map>
+#include <vector>
 
 extern "C" {
 
@@ -23,6 +36,114 @@ void dtk_sort_index_by_value(const uint64_t* data, uint64_t n,
     std::iota(indices, indices + n, 0);
     std::sort(indices, indices + n,
               [data](uint64_t i1, uint64_t i2) { return data[i1] < data[i2]; });
+}
+
+namespace {
+
+struct Reader {
+    FILE* f = nullptr;
+    bool fastq = false;
+    int min_read_size = 0;
+    std::unordered_map<std::string, std::string> pending;
+    std::string line;
+
+    bool getline_(std::string& out) {
+        out.clear();
+        int c;
+        while ((c = fgetc(f)) != EOF) {
+            if (c == '\n') return true;
+            out.push_back((char)c);
+        }
+        return !out.empty();
+    }
+};
+
+const uint8_t kBaseLut[256] = {
+    // 255 everywhere except ACGT/acgt
+#define X 255
+    X,X,X,X,X,X,X,X,X,X,X,X,X,X,X,X, X,X,X,X,X,X,X,X,X,X,X,X,X,X,X,X,
+    X,X,X,X,X,X,X,X,X,X,X,X,X,X,X,X, X,X,X,X,X,X,X,X,X,X,X,X,X,X,X,X,
+    X,0,X,1,X,X,X,2,X,X,X,X,X,X,X,X, X,X,X,X,3,X,X,X,X,X,X,X,X,X,X,X,
+    X,0,X,1,X,X,X,2,X,X,X,X,X,X,X,X, X,X,X,X,3,X,X,X,X,X,X,X,X,X,X,X,
+    X,X,X,X,X,X,X,X,X,X,X,X,X,X,X,X, X,X,X,X,X,X,X,X,X,X,X,X,X,X,X,X,
+    X,X,X,X,X,X,X,X,X,X,X,X,X,X,X,X, X,X,X,X,X,X,X,X,X,X,X,X,X,X,X,X,
+    X,X,X,X,X,X,X,X,X,X,X,X,X,X,X,X, X,X,X,X,X,X,X,X,X,X,X,X,X,X,X,X,
+    X,X,X,X,X,X,X,X,X,X,X,X,X,X,X,X, X,X,X,X,X,X,X,X,X,X,X,X,X,X,X,X,
+#undef X
+};
+
+void prune_pe(std::string& t) {
+    size_t n = t.size();
+    if (n >= 2 && t[n - 2] == '/' && (t[n - 1] == '1' || t[n - 1] == '2'))
+        t.resize(n - 2);
+}
+
+}  // namespace
+
+void* dtk_reader_open(const char* path, int is_fastq, int min_read_size) {
+    Reader* r = new Reader();
+    r->f = fopen(path, "rb");
+    if (!r->f) { delete r; return nullptr; }
+    r->fastq = is_fastq;
+    r->min_read_size = min_read_size;
+    return r;
+}
+
+// Fills codes (2P*L u8, pre-filled 255 by caller), rlen (2P i32), and
+// titles_buf (P * title_stride chars, NUL-terminated, '>' stripped).
+// Returns the number of pairs produced (< P at EOF; 0 when exhausted).
+int64_t dtk_reader_next_batch(void* rp, uint8_t* codes, int32_t* rlen,
+                              int64_t P, int64_t L, char* titles_buf,
+                              int64_t title_stride) {
+    Reader* r = (Reader*)rp;
+    int64_t np = 0;
+    std::string title, seq, dummy;
+    while (np < P) {
+        if (!r->getline_(title)) break;
+        if (title.empty()) continue;
+        if (!r->getline_(seq)) break;
+        if (r->fastq) {
+            r->getline_(dummy);
+            r->getline_(dummy);
+        }
+        if (title[0] == '>' || title[0] == '@') title.erase(0, 1);
+        prune_pe(title);
+        auto it = r->pending.find(title);
+        if (it == r->pending.end()) {
+            r->pending.emplace(std::move(title), std::move(seq));
+            continue;
+        }
+        std::string mate = std::move(it->second);
+        r->pending.erase(it);
+        if ((int)seq.size() < r->min_read_size ||
+            (int)mate.size() < r->min_read_size)
+            continue;
+        // pack: row 2*np = second occurrence (seq1), row 2*np+1 = stored
+        uint8_t* row1 = codes + (2 * np) * L;
+        uint8_t* row2 = codes + (2 * np + 1) * L;
+        int64_t n1 = std::min<int64_t>(seq.size(), L);
+        int64_t n2 = std::min<int64_t>(mate.size(), L);
+        for (int64_t i = 0; i < n1; ++i)
+            row1[i] = kBaseLut[(uint8_t)seq[i]];
+        for (int64_t i = 0; i < n2; ++i)
+            row2[i] = kBaseLut[(uint8_t)mate[i]];
+        rlen[2 * np] = (int32_t)n1;
+        rlen[2 * np + 1] = (int32_t)n2;
+        if (titles_buf) {
+            char* t = titles_buf + np * title_stride;
+            int64_t tn = std::min<int64_t>(title.size(), title_stride - 1);
+            memcpy(t, title.data(), tn);
+            t[tn] = '\0';
+        }
+        ++np;
+    }
+    return np;
+}
+
+void dtk_reader_close(void* rp) {
+    Reader* r = (Reader*)rp;
+    if (r->f) fclose(r->f);
+    delete r;
 }
 
 }  // extern "C"

@@ -1,0 +1,56 @@
+"""Align checkpoint/resume: interrupted run + resume == uninterrupted."""
+
+import os
+
+import numpy as np
+import pytest
+
+from danbing_tk_tpu.engine.align_runner import DeviceAlignRunner
+from danbing_tk_tpu.engine.host_align import AlignConfig, RPGG
+
+
+@pytest.fixture(scope="module")
+def rpgg():
+    golden_dir = os.path.join(os.path.dirname(__file__), "golden")
+    return RPGG(os.path.join(golden_dir, "pan"))
+
+
+def test_checkpoint_resume(golden_dir, tmp_path):
+    cfg = AlignConfig(ksize=21, cth=20, n_filter=4, nm_filter=1, okam=False)
+    reads = os.path.join(golden_dir, "reads.fa")
+    ck = str(tmp_path / "state.ckpt")
+
+    # uninterrupted reference run
+    full = DeviceAlignRunner(rpgg_ := RPGG(os.path.join(golden_dir, "pan")),
+                             cfg, batch_pairs=512, max_read_len=192)
+    full.run_file(reads)
+    want = full.flat_counts()
+
+    # run with checkpoints every 1024 pairs, stop after ~2048
+    class Stop(Exception):
+        pass
+
+    r1 = DeviceAlignRunner(RPGG(os.path.join(golden_dir, "pan")), cfg,
+                           batch_pairs=512, max_read_len=192)
+    n = {"c": 0}
+    orig = r1._run_chunk
+
+    def bomb(chunk):
+        if n["c"] >= 4:
+            raise Stop()
+        n["c"] += 1
+        orig(chunk)
+
+    r1._run_chunk = bomb
+    with pytest.raises(Stop):
+        r1.run_file(reads, checkpoint=ck, checkpoint_every=1024)
+    assert os.path.exists(ck)
+
+    # resume in a fresh runner
+    r2 = DeviceAlignRunner(RPGG(os.path.join(golden_dir, "pan")), cfg,
+                           batch_pairs=512, max_read_len=192)
+    r2.run_file(reads, checkpoint=ck, checkpoint_every=1024)
+    np.testing.assert_array_equal(r2.flat_counts(), want)
+    nm = np.asarray(r2.state["nmapread"])[:-1] + r2.host.nmapread
+    nm_w = np.asarray(full.state["nmapread"])[:-1] + full.host.nmapread
+    np.testing.assert_array_equal(nm, nm_w)

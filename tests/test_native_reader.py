@@ -1,0 +1,44 @@
+"""Native reader == Python reader (pair order, packing, throughput)."""
+
+import os
+import time
+
+import numpy as np
+
+from danbing_tk_tpu.engine.host_align import iter_fasta_pairs
+from danbing_tk_tpu.io.native_reader import NativeBatchReader
+from danbing_tk_tpu.ops import kmers_np as K
+
+
+def test_native_matches_python(golden_dir):
+    path = os.path.join(golden_dir, "reads.fa")
+    P, L = 1024, 192
+    py_pairs = [p for batch in iter_fasta_pairs(path, 40, 24, 0, 10**9)
+                for p in batch]
+    nat = []
+    for codes, rlen, n, titles in NativeBatchReader(path, P, L,
+                                                    min_read_size=40):
+        for i in range(n):
+            nat.append((titles[i], codes[2 * i], rlen[2 * i],
+                        codes[2 * i + 1], rlen[2 * i + 1]))
+    assert len(nat) == len(py_pairs)
+    for (t, s1, s2, _), (nt, c1, l1, c2, l2) in zip(py_pairs, nat):
+        assert t[1:] == nt  # python keeps '>'
+        e1 = K.encode_bases(s1)
+        e2 = K.encode_bases(s2)
+        assert l1 == len(e1) and np.array_equal(c1[: l1], e1)
+        assert l2 == len(e2) and np.array_equal(c2[: l2], e2)
+        assert (c1[l1:] == 255).all()
+
+
+def test_native_reader_throughput(golden_dir):
+    path = os.path.join(golden_dir, "reads.fa")
+    t0 = time.time()
+    nreads = 0
+    for codes, rlen, n, _ in NativeBatchReader(path, 4096, 192,
+                                               with_titles=False):
+        nreads += 2 * n
+    dt = time.time() - t0
+    rate = nreads / dt
+    print(f"native reader: {rate:.0f} reads/s")
+    assert rate > 100_000  # C path must be far above TPU feed threshold
