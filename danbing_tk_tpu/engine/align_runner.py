@@ -35,7 +35,6 @@ def _decode(codes: np.ndarray, rlen: int) -> str:
 class DeviceAlignRunner:
     def __init__(self, rpgg: RPGG, cfg: AlignConfig, batch_pairs: int = 4096,
                  max_read_len: int = 256, expand_cap: int = 512):
-        assert not cfg.bait and not cfg.qc, "bait/qc: host path only (v1)"
         self.rpgg = rpgg
         self.cfg = cfg
         self.P = batch_pairs
@@ -191,6 +190,8 @@ class DeviceAlignRunner:
                 continue
             if not out["pair_alive"][i]:
                 continue
+            if out["qc_drop"][i]:
+                continue
             dest = int(out["dest"][i]) if out["counted"][i] else nloci
             if not out["vote_pass"][i]:
                 dest = nloci
@@ -234,6 +235,7 @@ class DeviceAlignRunner:
             r = ReadAsgn()
             r.kf = int(out["kf"][ridx])
             r.hf = int(out["hf"][ridx])
+            r.bf = int(out["bf"][ridx])
             r.rm = int(out["rm"][ridx])
             r.af = int(out["af"][ridx])
             if ran_asgn:

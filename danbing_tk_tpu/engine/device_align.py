@@ -53,12 +53,14 @@ ANN_TR = 2
 class DeviceRPGG:
     """Device-resident RPGG model: flat tables + metadata."""
     nloci: int
-    dbi_tab: dt.OATable
+    dbi_tab: dt.BucketTable
     vv: np.ndarray
-    trfl_tab: dt.OATable          # (kmer, locus) -> (slot<<2)|ANN  or ANN_FL
-    tre_tab: dt.OATable | None    # (edge, locus) -> 1
+    trfl_tab: dt.BucketTable      # (kmer, locus) -> (slot<<2)|ANN  or ANN_FL
+    tre_tab: dt.BucketTable | None  # (edge, locus) -> 1
     locus_offsets: np.ndarray     # slot base per locus (trkmc flatten order)
     nslots: int
+    bait_tab: dt.BucketTable | None = None  # (kmer, locus) -> (mi<<8)|ma
+    qc: np.ndarray | None = None            # u8[nloci] pass mask
 
     @classmethod
     def build(cls, rpgg: RPGG, with_tre: bool = True) -> "DeviceRPGG":
@@ -106,8 +108,21 @@ class DeviceRPGG:
         vv = rpgg.vv.astype(np.uint32)
         if len(vv) == 0:
             vv = np.zeros(1, dtype=np.uint32)  # keep gathers well-formed
+        bait_tab = None
+        if rpgg.bait_dbs is not None:
+            bk, bl, bv = [], [], []
+            for li, db in enumerate(rpgg.bait_dbs):
+                for km, v in db.items():
+                    bk.append(km)
+                    bl.append(li)
+                    bv.append(v)
+            if bk:
+                bait_tab = dt.build_bucket_table(
+                    np.array(bk, np.uint64), np.array(bv, np.uint32),
+                    np.array(bl, np.uint32))
+        qc = rpgg.qc_filter
         return cls(rpgg.nloci, dbi_tab, vv, trfl_tab,
-                   tre_tab, offsets, slot)
+                   tre_tab, offsets, slot, bait_tab, qc)
 
 
 # ---------------------------------------------------------------------------
@@ -161,6 +176,13 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
     tre_lv = None
     if with_bubbles and drp.tre_tab is not None:
         tre_lv = [(jnp.asarray(t), s) for t, s in drp.tre_tab.levels]
+    bait_lv = None
+    if cfg.bait and drp.bait_tab is not None:
+        bait_lv = [(jnp.asarray(t), s) for t, s in drp.bait_tab.levels]
+    qc_arr = None
+    if cfg.qc and drp.qc is not None:
+        qc_arr = jnp.asarray(np.concatenate(
+            [drp.qc.astype(np.uint8), [0]]))
 
     def step(state, codes, rlen, live):
         ex = extract_kmers_edges(codes, rlen, k)
@@ -299,8 +321,53 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
         dst0 = jnp.where(has_entries, top_loc, NAN32)
         hf = (pair_kf & ~vote_pass & ~referee)[:, None].repeat(2, 1)
         hf = (hf.reshape(-1) & (kf == 0)).astype(jnp.int32)  # non-kf'd mates
-        # pairs counted on device: passed vote, not referee'd
-        dev_pair = vote_pass & ~referee
+
+        # QC: drop pairs whose assigned locus fails the mask (:2059-2062)
+        if qc_arr is not None:
+            qc_ok = qc_arr[jnp.clip(dst0, 0, nloci).astype(jnp.int32)] == 1
+            qc_drop = vote_pass & ~referee & ~qc_ok
+        else:
+            qc_ok = jnp.ones((P,), bool)
+            qc_drop = jnp.zeros((P,), bool)
+
+        # pairs counted on device: passed vote + QC, not referee'd
+        dev_pair = vote_pass & ~referee & qc_ok
+
+        # bait filter: per-read kmer count profile vs FP [mi,ma] windows
+        # (bfilter_FPSv1 :1377-1419); violation removes BOTH mates
+        if bait_lv is not None:
+            bs_hi, bs_lo = jax.lax.sort((khi, klo), dimension=-1,
+                                        num_keys=2)
+            bs_valid = ~((bs_hi == EMPTY) & (bs_lo == EMPTY))
+            bnew = bs_valid & jnp.concatenate(
+                [jnp.ones((2 * P, 1), bool),
+                 (bs_hi[:, 1:] != bs_hi[:, :-1])
+                 | (bs_lo[:, 1:] != bs_lo[:, :-1])], axis=1)
+            brid = jnp.cumsum(bnew.astype(jnp.int32), axis=-1) - 1
+            brid = jnp.where(bs_valid, brid, NKW - 1)
+            rows2 = jnp.arange(2 * P, dtype=jnp.int32)[:, None].repeat(
+                NKW, 1)
+            bcnt_run = jnp.zeros((2 * P, NKW), jnp.int32).at[
+                rows2, brid].add(jnp.where(bs_valid, 1, 0))
+            # u8 wrap as in the reference's kc8_t; broadcast run counts
+            # back to positions (probes live at run-START positions)
+            bcnt = jnp.take_along_axis(bcnt_run & 0xFF, brid, axis=-1)
+            bq_lo = jnp.where(bnew, bs_lo, EMPTY)
+            bq_hi = jnp.where(bnew, bs_hi, EMPTY)
+            bfound, bval = dt.lookup_bucket_jax(
+                drp.bait_tab, bq_lo, bq_hi,
+                q_loc=dst0[:, None].repeat(2, 1).reshape(-1)[:, None]
+                .repeat(NKW, 1),
+                levels_dev=bait_lv)
+            bfound = bfound & bnew
+            mi = (bval >> 8).astype(jnp.int32)
+            ma = (bval & 0xFF).astype(jnp.int32)
+            viol = bfound & ((bcnt < mi) | (bcnt > ma))
+            bf = viol.any(axis=-1) & dev_pair.repeat(2)   # (2P,)
+            bf_pair = bf.reshape(P, 2).any(axis=1)
+        else:
+            bf = jnp.zeros((2 * P,), bool)
+            bf_pair = jnp.zeros((P,), bool)
 
         # ---- TR/flank annotation vs dst0 ----
         dst0_read = dst0[:, None].repeat(2, 1).reshape(-1)  # (2P,)
@@ -342,7 +409,7 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
         si2 = jnp.where(adj2, p2, -1)
         ei2 = jnp.where(adj2, ti2, -1)
 
-        rm_entry = (kf == 1)                          # (2P,) no bait/qc yet
+        rm_entry = (kf == 1) | bf_pair.repeat(2)      # (2P,)
         nt_rec = jnp.where(
             (bs == 2) & (nt_total >= 2), 2,
             jnp.where((bs == 1) & (nt_total >= 3), 3, nt_total))
@@ -415,12 +482,16 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
         stats = stats.at[4].add(jnp.sum(hf))                      # nLocusAsgn
         stats = stats.at[5].add(2 * jnp.sum(dev_pair))
         stats = stats.at[6].add(jnp.sum(jnp.where(counted, nmate, 0)))
+        stats = stats.at[7].add(jnp.sum(jnp.where(
+            qc_drop, 2 - kf.reshape(P, 2).sum(axis=1), 0)))   # nQCFiltered
+        stats = stats.at[8].add(jnp.sum(bf & (kf == 0)))      # nBaitFilt
         new_state = dict(counts=counts, nmapread=nmapread, kmc=kmc,
                          stats=stats)
 
         out = dict(
             pair_alive=pair_kf, vote_pass=vote_pass, referee=referee,
-            dst0=dst0, counted=counted, dest=dest,
+            dst0=dst0, counted=counted, dest=dest, qc_drop=qc_drop,
+            bf=bf.astype(jnp.int32),
             kf=kf, hf=hf, rm=rm, af=af,
             nt=nt_out, bs=bs_out, ti=ti_out, si=si, ei=ei,
             si_=si_, ei_=ei_, nk=nk,
@@ -448,6 +519,6 @@ def init_state(drp: DeviceRPGG):
         counts=jnp.zeros(drp.nslots + 1, jnp.uint32),
         nmapread=jnp.zeros(drp.nloci + 1, jnp.uint32),
         kmc=jnp.zeros(drp.nloci + 1, jnp.uint32),
-        stats=jnp.zeros(8, jnp.int64 if jax.config.jax_enable_x64
+        stats=jnp.zeros(9, jnp.int64 if jax.config.jax_enable_x64
                         else jnp.int32),
     )
