@@ -40,14 +40,19 @@ class DeviceAlignRunner:
         self.P = batch_pairs
         self.L = max_read_len
         self.drp = da.DeviceRPGG.build(rpgg, with_tre=cfg.output_bubbles)
+        if cfg.threading:
+            self.drp.add_graph(rpgg)
         self.step = da.make_step(
             self.drp, cfg, self.P, self.L, expand_cap=expand_cap,
-            with_annot=cfg.okam, with_bubbles=cfg.output_bubbles)
+            with_annot=cfg.okam or cfg.threading,
+            with_bubbles=cfg.output_bubbles, threading=cfg.threading)
         self.state = da.init_state(self.drp)
         # host oracle handles referee'd pairs (counts go into rpgg dicts)
         self.host = HostAligner(rpgg, cfg)
         self.kam_rows: list[str] = []
+        self.aln_rows: list[str] = []
         self.n_referee = 0
+        self.n_host_thread = 0
 
     # -- batching --
 
@@ -175,6 +180,9 @@ class DeviceAlignRunner:
         self._post_chunk(pairs, out, n)
 
     def _post_chunk(self, pairs, out, n):
+        if self.cfg.threading:
+            self._post_chunk_threading(pairs, out)
+            return
         cfg = self.cfg
         nloci = self.rpgg.nloci
         referee = out["referee"]
@@ -210,6 +218,55 @@ class DeviceAlignRunner:
                 self.kam_rows.append(
                     self._kam_from_device(title, src, dest, dst0, out, i,
                                           s1, s2))
+
+    def _post_chunk_threading(self, pairs, out):
+        """Threading mode: device handles clean-walk pairs; everything
+        else goes through the host threading engine (exact)."""
+        cfg = self.cfg
+        nloci = self.rpgg.nloci
+        for i, (title, s1, s2, src) in enumerate(pairs):
+            if out["referee"][i]:
+                self.n_referee += 1
+                n0 = len(self.host.aln_rows)
+                self.host.process_pair(title, s1, s2, src)
+                if len(self.host.aln_rows) > n0:
+                    self.aln_rows.append(self.host.aln_rows.pop())
+                continue
+            if (not out["nonshort"][i] or out["sub_drop"][i]
+                    or not out["pair_alive"][i] or out["qc_drop"][i]
+                    or not out["vote_pass"][i]):
+                continue
+            dst0 = int(out["dst0"][i])
+            if not out["clean_pair"][i]:
+                self.n_host_thread += 1
+                n0 = len(self.host.aln_rows)
+                self.host.stats["nThreadingReads"] += 2
+                self.host._thread_pair(title, s1, s2, src, dst0)
+                if len(self.host.aln_rows) > n0:
+                    self.aln_rows.append(self.host.aln_rows.pop())
+                continue
+            # device-handled clean pair: aln row is all-matches
+            if cfg.aln:
+                keep = True
+                if cfg.aln_minimal and not cfg.simmode:
+                    keep = True  # dest != nloci by construction
+                src_s = "." if src == -1 else str(src)
+                ann2 = self._annot_str(out, 2 * i + 1)
+                ann1 = self._annot_str(out, 2 * i)
+                self.aln_rows.append(
+                    f"{src_s}\t{dst0}\t{title}\t{s2}\t{s1}\t"
+                    f"{len(s2)}=\t{ann2}\t{len(s1)}=\t{ann1}\n")
+
+    def _annot_str(self, out, ridx):
+        from .threading import write_annot
+
+        nk = int(out["nk"][ridx])
+        tm = out["tr_member"][ridx][:nk]
+        return write_annot(["=" if x else "." for x in tm])
+
+    def write_aln(self, path):
+        with open(path, "w") as f:
+            f.writelines(self.aln_rows)
 
     def _add_bubbles(self, dest, seq, novel_mask):
         _, edges = K.seq_to_kmers_and_edges(

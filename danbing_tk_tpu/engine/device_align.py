@@ -61,6 +61,21 @@ class DeviceRPGG:
     nslots: int
     bait_tab: dt.BucketTable | None = None  # (kmer, locus) -> (mi<<8)|ma
     qc: np.ndarray | None = None            # u8[nloci] pass mask
+    graph_tab: dt.BucketTable | None = None  # (nc kmer, locus) -> edge mask
+
+    def add_graph(self, rpgg: RPGG):
+        """Builds the dBG transition table for the threading DFA walk
+        (GraphType node -> 4-bit out-edge mask, per locus)."""
+        graphs = rpgg.load_graphs()
+        gk, gl, gv = [], [], []
+        for li, g in enumerate(graphs):
+            for km, mask in g.items():
+                gk.append(km)
+                gl.append(li)
+                gv.append(mask)
+        self.graph_tab = dt.build_bucket_table(
+            np.array(gk, np.uint64), np.array(gv, np.uint32),
+            np.array(gl, np.uint32))
 
     @classmethod
     def build(cls, rpgg: RPGG, with_tre: bool = True) -> "DeviceRPGG":
@@ -71,7 +86,10 @@ class DeviceRPGG:
         dbi_tab = dt.build_bucket_table(keys, vals)
 
         # trfl composite table; TR slot ids follow the .trkmc.ar flatten
-        # order (per-locus insertion order of pan.tr.kmers)
+        # order (per-locus insertion order of pan.tr.kmers).  Value
+        # encoding: (slot << 3) | (in_tr << 2) | ann; ann 1=flank 2=TR
+        # (flank wins when a kmer is in both sets, assignTRkmc :1464-1467,
+        # but aln-mode counting still needs the TR slot -> in_tr bit).
         tk, tl, tv = [], [], []
         offsets = np.zeros(rpgg.nloci + 1, dtype=np.int64)
         slot = 0
@@ -81,7 +99,10 @@ class DeviceRPGG:
             for km in rpgg.tr_orders[li]:
                 tk.append(km)
                 tl.append(li)
-                tv.append(ANN_FL if km in fl else ((slot << 2) | ANN_TR))
+                if km in fl:
+                    tv.append((slot << 3) | (1 << 2) | ANN_FL)
+                else:
+                    tv.append((slot << 3) | ANN_TR)
                 slot += 1
             for km in fl:
                 if km not in rpgg.tr_counts[li]:
@@ -156,7 +177,8 @@ def _take_rows(a, idx):
 
 def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
               expand_cap: int = 512, with_annot: bool = True,
-              with_bubbles: bool = False, jit: bool = True):
+              with_bubbles: bool = False, jit: bool = True,
+              threading: bool = False):
     """Builds the (by default jitted) per-batch function.
 
     Returns step(state, codes(2P,L) u8, rlen(2P,) i32, live(P,) bool)
@@ -183,6 +205,10 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
     if cfg.qc and drp.qc is not None:
         qc_arr = jnp.asarray(np.concatenate(
             [drp.qc.astype(np.uint8), [0]]))
+    graph_lv = None
+    if threading:
+        assert drp.graph_tab is not None, "call drp.add_graph(rpgg) first"
+        graph_lv = [(jnp.asarray(t), s) for t, s in drp.graph_tab.levels]
 
     def step(state, codes, rlen, live):
         ex = extract_kmers_edges(codes, rlen, k)
@@ -376,13 +402,8 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
             drp.trfl_tab, klo, khi, q_loc=q_loc, levels_dev=trfl_lv)
         afound = afound & kvalid
         afound = afound & dev_pair.repeat(2)[:, None]
-        ann = jnp.where(
-            afound,
-            jnp.where((aval & 3) == ANN_TR, 2, 1).astype(jnp.int32),
-            0)
-        # flank entries store exactly ANN_FL
-        ann = jnp.where(afound & (aval == ANN_FL), 1, ann)
-        slot = (aval >> 2).astype(jnp.int32)
+        ann = jnp.where(afound, (aval & 3).astype(jnp.int32), 0)
+        slot = (aval >> 3).astype(jnp.int32)
 
         # ---- assignTRkmc state machine (vectorized) ----
         lk = _seg_last_nonzero_excl(ann)              # last known before i
@@ -463,13 +484,54 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
         seglen = jnp.maximum(ei - si, 0).reshape(P, 2).sum(axis=1)
 
         counts = state["counts"]
-        do_count = (ann == 2) & ((rm == 0) & counted.repeat(2))[:, None]
-        cslot = jnp.where(do_count, slot, drp.nslots)
-        counts = counts.at[cslot.reshape(-1)].add(1, mode="drop")
-        nmapread = state["nmapread"].at[dcl].add(
-            jnp.where(counted, nmate, 0).astype(jnp.uint32), mode="drop")
-        kmc = state["kmc"].at[dcl].add(
-            jnp.where(counted, seglen, 0).astype(jnp.uint32), mode="drop")
+        thr_out = {}
+        if threading:
+            # ---- DFA walk (graph threading fast path) ----
+            # A mate is "clean" if its whole non-canonical k-mer stream
+            # follows graph out-edges from position 0 with no Ns or
+            # homopolymer stalls; such walks match isThreadFeasible's
+            # no-correction path exactly, so device handles them and the
+            # rest fall back to the host threading engine.
+            nclo, nchi = ex["nclo"], ex["nchi"]
+            gfound, gmask = dt.lookup_bucket_jax(
+                drp.graph_tab, nclo, nchi, q_loc=q_loc, levels_dev=graph_lv)
+            pos = jnp.arange(NKW, dtype=jnp.int32)[None, :]
+            in_read = pos < nk[:, None]
+            no_n = (kvalid | ~in_read).all(axis=-1)
+            same_prev = ((nclo[:, 1:] == nclo[:, :-1])
+                         & (nchi[:, 1:] == nchi[:, :-1]) & in_read[:, 1:])
+            no_homo = ~(same_prev.any(axis=-1))
+            nb = (nclo & 3).astype(jnp.uint32)
+            trans_ok = gfound[:, :-1] & (
+                ((gmask[:, :-1] >> nb[:, 1:]) & 1) == 1)
+            trans_ok = trans_ok | ~in_read[:, 1:]
+            node_ok = gfound | ~in_read
+            clean = (no_n & no_homo & trans_ok.all(axis=-1)
+                     & node_ok.all(axis=-1) & (nk > 0)
+                     & dev_pair.repeat(2))
+            clean_pair = clean.reshape(P, 2).all(axis=1)
+            thr_dev = dev_pair & clean_pair
+            in_tr = afound & (((aval >> 2) & 1) == 1)
+            tr_member = ((ann == 2) | in_tr) & kvalid
+            do_count = tr_member & in_read & thr_dev.repeat(2)[:, None]
+            cslot = jnp.where(do_count, slot, drp.nslots)
+            counts = counts.at[cslot.reshape(-1)].add(1, mode="drop")
+            nmapread = state["nmapread"]
+            kmc = state["kmc"]
+            counted = thr_dev
+            dest = jnp.where(thr_dev, dst0, nloci).astype(jnp.int32)
+            thr_out = dict(clean=clean, clean_pair=clean_pair,
+                           tr_member=tr_member.astype(jnp.uint8))
+        else:
+            do_count = (ann == 2) & ((rm == 0) & counted.repeat(2))[:, None]
+            cslot = jnp.where(do_count, slot, drp.nslots)
+            counts = counts.at[cslot.reshape(-1)].add(1, mode="drop")
+            nmapread = state["nmapread"].at[dcl].add(
+                jnp.where(counted, nmate, 0).astype(jnp.uint32),
+                mode="drop")
+            kmc = state["kmc"].at[dcl].add(
+                jnp.where(counted, seglen, 0).astype(jnp.uint32),
+                mode="drop")
 
         # stats exclude referee'd pairs entirely; the host oracle re-counts
         # their full funnel when it reprocesses them
@@ -497,6 +559,7 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
             si_=si_, ei_=ei_, nk=nk,
             sub_drop=pair_nonshort & ~pair_sub,
             nonshort=pair_nonshort,
+            **thr_out,
         )
         if with_annot:
             out["ann"] = ann.astype(jnp.uint8)

@@ -93,6 +93,8 @@ def extract_kmers_edges(codes: jnp.ndarray, rlen: jnp.ndarray, k: int):
     khi = jnp.where(use_r, rhi, fhi)
     klo = jnp.where(wvalid_k, klo, EMPTY)
     khi = jnp.where(wvalid_k, khi, EMPTY)
+    nclo = jnp.where(wvalid_k, flo, EMPTY)   # non-canonical (graph nodes)
+    nchi = jnp.where(wvalid_k, fhi, EMPTY)
 
     # edges: forward (k+1)-mer = fwd[i]<<2 | base[i+k]
     #        rc      (k+1)-mer = rc[i] | (3-base[i+k]) << 2k
@@ -119,6 +121,7 @@ def extract_kmers_edges(codes: jnp.ndarray, rlen: jnp.ndarray, k: int):
     nk = jnp.maximum(rlen - k + 1, 0)
     return dict(
         klo=klo, khi=khi, kvalid=wvalid_k,
+        nclo=nclo, nchi=nchi,
         elo=elo, ehi=ehi, evalid=wvalid_e,
         nk=nk, any_valid=wvalid_k.any(axis=-1),
     )
