@@ -169,6 +169,41 @@ def _first_true_idx(m):
     return jnp.min(idx, axis=-1)
 
 
+def _next_true_idx_excl(m):
+    """For each position p: smallest j > p with m[j] True, else width.
+
+    Reverse cumulative min of masked indices (log-depth scan, no scatter).
+    """
+    w = m.shape[-1]
+    idx = jnp.where(m, jnp.arange(w, dtype=jnp.int32), w)
+    rev = jax.lax.associative_scan(jnp.minimum, idx, axis=idx.ndim - 1,
+                                   reverse=True)
+    return jnp.concatenate(
+        [rev[..., 1:], jnp.full(m.shape[:-1] + (1,), w, jnp.int32)],
+        axis=-1)
+
+
+def _shifted_cumsum(x):
+    """Exclusive prefix sum along -1 (c[p] = sum of x[:p])."""
+    c = jnp.cumsum(x, axis=-1)
+    return jnp.concatenate(
+        [jnp.zeros(x.shape[:-1] + (1,), c.dtype), c[..., :-1]], axis=-1)
+
+
+def _range_sum(x, start, end_excl):
+    """Sum of x over [start, end_excl) per row via prefix-sum gathers;
+    start/end are (..., W) index arrays (end may be W -> use inclusive
+    trick on padded prefix sums)."""
+    c = jnp.cumsum(x, axis=-1)
+    cpad = jnp.concatenate(
+        [jnp.zeros(x.shape[:-1] + (1,), c.dtype), c], axis=-1)
+    w = x.shape[-1]
+    e = jnp.clip(end_excl, 0, w)
+    s = jnp.clip(start, 0, w)
+    return jnp.take_along_axis(cpad, e, axis=-1) - \
+        jnp.take_along_axis(cpad, s, axis=-1)
+
+
 def _take_rows(a, idx):
     """a: (..., W); idx: (...) -> a[..., idx] with clamping."""
     idxc = jnp.clip(idx, 0, a.shape[-1] - 1)
@@ -256,45 +291,45 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
             (m_hi, m_lo, m_val, mate, m_use.astype(jnp.int32)),
             dimension=-1, num_keys=2)
         s_use = s_use.astype(bool)
-        # invalid entries (EMPTY keys) sort to the end
+        W = 2 * NKW
+        # invalid entries (EMPTY keys) sort to the end.  All run statistics
+        # live at run-START positions (scatter-free: prefix-sum differences
+        # between consecutive starts; TPU scatters serialize on duplicate
+        # indices and dominated the step otherwise).
         newrun = s_use & jnp.concatenate(
             [jnp.ones((P, 1), bool),
              (s_hi[:, 1:] != s_hi[:, :-1]) | (s_lo[:, 1:] != s_lo[:, :-1])],
             axis=1)
-        run_id = jnp.cumsum(newrun.astype(jnp.int32), axis=-1) - 1  # per row
-        run_id = jnp.where(s_use, run_id, 2 * NKW - 1)
-        rows = jnp.arange(P, dtype=jnp.int32)[:, None].repeat(2 * NKW, 1)
-        W = 2 * NKW
-        fcnt = jnp.zeros((P, W), jnp.int32).at[rows, run_id].add(
-            jnp.where(s_use & (s_mate == 0), 1, 0))
-        rcnt = jnp.zeros((P, W), jnp.int32).at[rows, run_id].add(
-            jnp.where(s_use & (s_mate == 1), 1, 0))
-        rval = jnp.zeros((P, W), jnp.uint32).at[rows, run_id].max(
-            jnp.where(newrun, s_val, 0))
-        nruns = jnp.max(jnp.where(s_use, run_id + 1, 0), axis=-1)  # (P,)
+        nxt = _next_true_idx_excl(newrun)          # next run start (or W)
+        run_end = jnp.where(s_use, jnp.minimum(
+            nxt, jnp.sum(s_use, axis=-1, keepdims=True)), 0)
+        posW = jnp.arange(W, dtype=jnp.int32)[None, :]
+        fcnt = jnp.where(newrun, _range_sum(
+            (s_use & (s_mate == 0)).astype(jnp.int32), posW, run_end), 0)
+        rcnt = jnp.where(newrun, _range_sum(
+            (s_use & (s_mate == 1)).astype(jnp.int32), posW, run_end), 0)
+        rval = s_val                                # valid at run starts
 
-        run_valid = jnp.arange(W, dtype=jnp.int32)[None, :] < nruns[:, None]
         odd = (rval & 1) == 1
         nmapped = jnp.where(
             odd, vv[jnp.clip((rval >> 1).astype(jnp.int32), 0,
-                             vv.shape[0] - 1)], 1)
-        nmapped = jnp.where(run_valid, nmapped, 0).astype(jnp.int32)
+                             vv.shape[0] - 1)], 1).astype(jnp.int32)
+        nmapped = jnp.where(newrun, nmapped, 0)
 
         # CSR expansion of loci lists into E slots per pair: scatter each
-        # run id at its start offset, then a running max assigns every slot
-        # its covering run (replaces per-slot binary search)
+        # run-start POSITION at its expansion offset, then a running max
+        # assigns every slot its covering run position
         csum = jnp.cumsum(nmapped, axis=-1)
         total = csum[:, -1]
         overflow = total > E
         starts = csum - nmapped
         eidx = jnp.arange(E, dtype=jnp.int32)[None, :]
-        can_scatter = run_valid & (nmapped > 0) & (starts < E)
-        rid_w = jnp.arange(W, dtype=jnp.int32)[None, :].repeat(P, 0)
+        can_scatter = newrun & (nmapped > 0) & (starts < E)
         rowsW = jnp.arange(P, dtype=jnp.int32)[:, None].repeat(W, 1)
         erun0 = jnp.full((P, E), -1, jnp.int32).at[
             rowsW, jnp.where(can_scatter, jnp.clip(starts, 0, E - 1),
                              E - 1)].max(
-            jnp.where(can_scatter, rid_w, -1))
+            jnp.where(can_scatter, posW, -1))
         erun = jnp.clip(_cummax(erun0), 0, W - 1)
         evalid_exp = eidx < jnp.minimum(total, E)[:, None]
         e_rval = jnp.take_along_axis(rval, erun, axis=-1)
@@ -310,33 +345,29 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
         e_r = jnp.where(evalid_exp,
                         jnp.take_along_axis(rcnt, erun, axis=-1), 0)
 
-        # per-(pair, locus) totals via in-row sort + segment sums
+        # per-(pair, locus) totals: in-row sort + prefix-sum differences at
+        # segment starts (scatter-free)
         g_loc, g_f, g_r = jax.lax.sort(
             (e_locus, e_f, e_r), dimension=-1, num_keys=1)
         g_valid = g_loc != NAN32
         segnew = g_valid & jnp.concatenate(
             [jnp.ones((P, 1), bool), g_loc[:, 1:] != g_loc[:, :-1]], axis=1)
-        seg_id = jnp.cumsum(segnew.astype(jnp.int32), axis=-1) - 1
-        seg_id = jnp.where(g_valid, seg_id, E - 1)
-        rowsE = jnp.arange(P, dtype=jnp.int32)[:, None].repeat(E, 1)
-        seg_f = jnp.zeros((P, E), jnp.int32).at[rowsE, seg_id].add(
-            jnp.where(g_valid, g_f, 0))
-        seg_r = jnp.zeros((P, E), jnp.int32).at[rowsE, seg_id].add(
-            jnp.where(g_valid, g_r, 0))
-        seg_loc = jnp.zeros((P, E), jnp.uint32).at[rowsE, seg_id].max(
-            jnp.where(segnew, g_loc, 0))
-        nsegs = jnp.max(jnp.where(g_valid, seg_id + 1, 0), axis=-1)
-        seg_valid = jnp.arange(E, dtype=jnp.int32)[None, :] < nsegs[:, None]
+        snxt = _next_true_idx_excl(segnew)
+        seg_end = jnp.where(segnew, jnp.minimum(
+            snxt, jnp.sum(g_valid, axis=-1, keepdims=True)), 0)
+        posE = jnp.arange(E, dtype=jnp.int32)[None, :]
+        seg_f = jnp.where(segnew, _range_sum(g_f, posE, seg_end), 0)
+        seg_r = jnp.where(segnew, _range_sum(g_r, posE, seg_end), 0)
 
-        seg_tot = jnp.where(seg_valid, seg_f + seg_r, -1)
+        seg_tot = jnp.where(segnew, seg_f + seg_r, -1)
         top_tot = jnp.max(seg_tot, axis=-1)
-        is_top = seg_tot == top_tot[:, None]
-        n_top = jnp.sum(is_top & seg_valid, axis=-1)
-        top_seg = _first_true_idx(is_top & seg_valid)
-        top_loc = _take_rows(seg_loc, top_seg)
+        is_top = segnew & (seg_tot == top_tot[:, None])
+        n_top = jnp.sum(is_top, axis=-1)
+        top_seg = _first_true_idx(is_top)
+        top_loc = _take_rows(g_loc, top_seg)
         top_f = _take_rows(seg_f, top_seg)
         top_r = _take_rows(seg_r, top_seg)
-        has_entries = nsegs > 0
+        has_entries = segnew.any(axis=-1)
 
         test1 = (top_f >= cth) & (top_r >= cth)
         test2 = (top_f + top_r) >= 2 * cth
