@@ -16,31 +16,31 @@ from __future__ import annotations
 import numpy as np
 
 
-def read_kmer_table(path: str, sort: bool = True):
+def read_kmer_table(path: str, sort: bool = True, with_names: bool = False):
     """vntrutils.readKmers equivalent: per-locus count column (sorted by
-    kmer value), list indexed by locus."""
+    kmer value), list indexed by locus; with_names keeps [kmer, count]."""
     out = []
     cur = []
-    first = True
     with open(path) as f:
         f.readline()  # consume first '>'
         for line in f:
             if line[0] == ">":
-                out.append(_table(cur, sort))
+                out.append(_table(cur, sort, with_names))
                 cur = []
             else:
                 cur.append(line.split())
-        out.append(_table(cur, sort))
+        out.append(_table(cur, sort, with_names))
     return out
 
 
-def _table(rows, sort):
+def _table(rows, sort, with_names=False):
     if not rows:
-        return np.zeros(0, dtype=np.int64)
+        shape = (0, 2) if with_names else 0
+        return np.zeros(shape, dtype=np.int64)
     t = np.array(rows, dtype=np.int64)
     if sort:
         t = t[t[:, 0].argsort()]
-    return t[:, 1]
+    return t if with_names else t[:, 1]
 
 
 def ols_no_intercept(x: np.ndarray, y: np.ndarray):
@@ -101,19 +101,32 @@ def regress_locus(x, y, outlier: str = "invalid"):
 
 
 def linreg(pacbio_kmers: str, illumina_kmers: str, out_pred: str,
-           outlier: str = "invalid"):
-    """Writes the .pred table: TrueDosage PredDosage Slope r^2 per locus."""
-    xs = read_kmer_table(pacbio_kmers)
-    ys = read_kmer_table(illumina_kmers)
+           outlier: str = "invalid", mapkmer: bool = False):
+    """Writes the .pred table: TrueDosage PredDosage Slope r^2 per locus.
+
+    mapkmer joins the two tables on the shared k-mer names per locus
+    (the reference's --mapkmer flow for cross-index comparisons)."""
+    xs = read_kmer_table(pacbio_kmers, with_names=mapkmer)
+    ys = read_kmer_table(illumina_kmers, with_names=mapkmer)
     nloci = len(ys)
     results = np.zeros((nloci, 4))
     for k in range(nloci):
-        if xs[k].size:
-            results[k, 0] = xs[k].sum()
-        if ys[k].size and xs[k].size:
+        xk, yk = xs[k], ys[k]
+        if mapkmer and xk.size and yk.size:
+            shared = np.intersect1d(xk[:, 0], yk[:, 0])
+            results[k, 0] = xk[:, 1].sum()
+            xk = xk[np.isin(xk[:, 0], shared), 1]
+            yk = yk[np.isin(yk[:, 0], shared), 1]
+        elif mapkmer:
+            results[k, 0] = xk[:, 1].sum() if xk.size else 0
+            xk = yk = np.zeros(0, dtype=np.int64)
+        else:
+            if xk.size:
+                results[k, 0] = xk.sum()
+        if yk.size and xk.size:
             # leading zero point per reference (np.insert(...,0,0))
-            x = np.insert(xs[k], 0, 0)
-            y = np.insert(ys[k], 0, 0)
+            x = np.insert(xk, 0, 0)
+            y = np.insert(yk, 0, 0)
             a, r2, pred = regress_locus(x, y, outlier)
             results[k, 1:] = [pred, a, r2]
     np.savetxt(out_pred, results, fmt=["%i", "%.1f", "%.2f", "%.4f"],
