@@ -278,6 +278,36 @@ def main():
          "bait.FPSkmer.tsv"), str(NLOCI), pan])
     align(["-b", "-s", "2", "-o"], os.path.join(OUT, "out.bait"),
           "out.bait.kam", reads="reads.sim.fa")
+    # --- ktools subcommand goldens: raava, extract, extract-bt, sum, ksi;
+    # align -qc ---
+    run([f"{REFBIN}/genPanKmers", "-tr", "-o", os.path.join(OUT,
+         "pan.reindex"), "-m", "-", "-k", pan])
+    run([f"{REFBIN}/ktools", "raava", pan, str(KSIZE)])
+    # extract wants .ntr.kmers (older name of .fl); provide a copy
+    shutil.copy(pan + ".fl.kmers", pan + ".ntr.kmers")
+    run([f"{REFBIN}/ktools", "extract", pan, "3",
+         os.path.join(OUT, "extract3")])
+    qcf = os.path.join(OUT, "qc.txt")
+    with open(qcf, "w") as f:
+        f.write("".join("0" if i % 5 == 0 else "1" for i in range(NLOCI)))
+    run([f"{REFBIN}/ktools", "extract-bt", pan, qcf])
+    with open(os.path.join(OUT, "pan.tr.ksi"), "w") as f:
+        run([f"{REFBIN}/ktools", "ksi", pan + ".tr.kmers"], stdout=f)
+    # ktools sum golden: count-only file from out.trkmc.ar
+    from danbing_tk_tpu.io.binary import read_karray
+
+    with open(os.path.join(OUT, "counts.txt"), "w") as f:
+        for v in read_karray(os.path.join(OUT, "out.trkmc.ar")):
+            f.write(f"{v}\n")
+    with open(os.path.join(OUT, "sum.golden.kms"), "w") as f:
+        pass
+    run([f"{REFBIN}/ktools", "sum", os.path.join(OUT, "pan.tr.ksi"),
+         os.path.join(OUT, "counts.txt"), os.path.join(OUT,
+         "sum.golden.kms")])
+
+    align(["-qc", qcf, "-s", "2", "-o"], os.path.join(OUT, "out.qc"),
+          "out.qc.kam", reads="reads.sim.fa")
+
     # --- threading-mode goldens (needs the re-enabled oracle; see
     # tools/patch_ref_threading.py) ---
     thrbin = "/tmp/refthread/bin/danbing-tk-thread"
