@@ -40,6 +40,10 @@ from .host_align import AlignConfig, RPGG
 
 NAN32 = np.uint32(0xFFFFFFFF)
 
+# perf-bisect hook: set to 'probe'|'vote'|'annot'|'assign' to truncate the
+# step after that stage (returns dummy outputs); None = full step
+DEBUG_STOP = None
+
 
 # ---------------------------------------------------------------------------
 # Host-side table construction from the RPGG
@@ -256,6 +260,8 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
         found = found & kvalid
 
         pair_nonshort = (any_valid.reshape(P, 2).all(axis=1)) & live
+        if DEBUG_STOP == 'probe':
+            return state, dict(x=found.sum() + val.sum())
 
         # ---- subfilter ----
         nf, nmf = cfg.n_filter, cfg.nm_filter
@@ -379,6 +385,9 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
         hf = (pair_kf & ~vote_pass & ~referee)[:, None].repeat(2, 1)
         hf = (hf.reshape(-1) & (kf == 0)).astype(jnp.int32)  # non-kf'd mates
 
+        if DEBUG_STOP == 'vote':
+            return state, dict(x=top_loc.sum() + top_f.sum() + top_r.sum()
+                               + n_top.sum() + overflow.sum())
         # QC: drop pairs whose assigned locus fails the mask (:2059-2062)
         if qc_arr is not None:
             qc_ok = qc_arr[jnp.clip(dst0, 0, nloci).astype(jnp.int32)] == 1
@@ -436,6 +445,8 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
         ann = jnp.where(afound, (aval & 3).astype(jnp.int32), 0)
         slot = (aval >> 3).astype(jnp.int32)
 
+        if DEBUG_STOP == 'annot':
+            return state, dict(x=ann.sum() + slot.sum())
         # ---- assignTRkmc state machine (vectorized) ----
         lk = _seg_last_nonzero_excl(ann)              # last known before i
         known = ann > 0
@@ -506,6 +517,8 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
             rm_entry & dev_pair.repeat(2), -1,
             jnp.where(nt_total >= 1, ti1, -1))
 
+        if DEBUG_STOP == 'assign':
+            return state, dict(x=si.sum() + ei.sum() + nt_rec.sum())
         # ---- accumulation ----
         rm_p = rm.reshape(P, 2)
         counted = dev_pair & ~(rm_p.all(axis=1))

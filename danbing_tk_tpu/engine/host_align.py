@@ -506,6 +506,57 @@ def prune_pe_info(title: str) -> str:
     return title
 
 
+def qstring_to_qmask(qual: str, qth: int, ksize: int) -> list[bool]:
+    """qString2qMask (aQueryFasta_thread.h:1043-1078): qkm[i] True iff all
+    bases of k-mer window i have quality >= qth; exact port including the
+    two-pointer run structure."""
+    nq = len(qual)
+    nk = nq - ksize + 1
+    qs = [ord(c) - 33 for c in qual]
+    qkm = [False] * max(nk, 0)
+    qi = 0
+    ki = 0
+    if nk <= 0:
+        return qkm
+    while qs[qi] < qth:
+        qi += 1
+        ki += 1
+        if qi >= nk:
+            return qkm
+    while qi < nk:
+        passed = True
+        qj = qi
+        while qi < qj + ksize:
+            if qs[qi] < qth:
+                passed = False
+                ki = qi
+                while qs[qi] < qth:
+                    qi += 1
+                    ki += 1
+                    if qi >= nk:
+                        return qkm
+                break
+            qi += 1
+        if passed:
+            qkm[ki] = True
+            ki += 1
+            if qi >= nk:
+                return qkm
+            while qs[qi] >= qth:
+                qkm[ki] = True
+                qi += 1
+                ki += 1
+                if qi >= nk:
+                    return qkm
+            ki = qi
+            while qs[qi] < qth:
+                qi += 1
+                ki += 1
+                if qi >= nk:
+                    return qkm
+    return qkm
+
+
 def parse_read_name_sim2(title: str, nloci: int) -> int:
     """simmode 2: >$CHR:$START-$END:$LOCUS -> locus (nloci if '.')."""
     p1 = title.find(":")
@@ -515,17 +566,44 @@ def parse_read_name_sim2(title: str, nloci: int) -> int:
 
 
 def iter_fasta_pairs(path: str, min_read_size: int, nloci: int,
-                     simmode: int = 0, batch_pairs: int = 150000):
+                     simmode: int = 0, batch_pairs: int = 150000,
+                     is_fastq: bool = False):
     """Streams batches of paired reads, replicating the reference reader
-    (title-hashmap pairing of a samtools-fasta -n stream; the second
-    occurrence becomes seq1, the stored first occurrence seq2).
+    (title-hashmap pairing of a samtools-fasta/-fastq -n stream; the
+    second occurrence becomes seq1, the stored first occurrence seq2).
 
-    Yields lists of (title, seq1, seq2, src_locus).
+    Yields lists of (title, seq1, seq2, src_locus[, qual1, qual2]).
     """
     read_db: dict[str, str] = {}
+    fq_db: dict[str, tuple[str, str]] = {}
     batch = []
     with open(path) as f:
         title = None
+        if is_fastq:
+            while True:
+                title = f.readline().rstrip("\n")
+                if not title:
+                    break
+                seq = f.readline().rstrip("\n")
+                f.readline()
+                qual = f.readline().rstrip("\n")
+                title = prune_pe_info(">" + title[1:])
+                prev = fq_db.pop(title, None)
+                if prev is None:
+                    fq_db[title] = (seq, qual)
+                    continue
+                if (len(seq) < min_read_size
+                        or len(prev[0]) < min_read_size):
+                    continue
+                src = (parse_read_name_sim2(title, nloci)
+                       if simmode == 2 else -1)
+                batch.append((title, seq, prev[0], src, qual, prev[1]))
+                if len(batch) >= batch_pairs:
+                    yield batch
+                    batch = []
+            if batch:
+                yield batch
+            return
         for line in f:
             line = line.rstrip("\n")
             if line.startswith(">"):
@@ -580,11 +658,13 @@ class HostAligner:
         min_read_size = cfg.cth + cfg.ksize - 1
         for batch in iter_fasta_pairs(
             path, min_read_size, self.g.nloci, cfg.simmode,
-            cfg.reads_per_batch // 2,
+            cfg.reads_per_batch // 2, is_fastq=cfg.is_fastq,
         ):
-            for title, seq1, seq2, src in batch:
+            for rec in batch:
+                title, seq1, seq2, src = rec[:4]
+                quals = rec[4:6] if len(rec) > 4 else (None, None)
                 self.stats["nReads"] += 2
-                self.process_pair(title, seq1, seq2, src)
+                self.process_pair(title, seq1, seq2, src, quals)
             self.flush_batch()
 
     def flush_batch(self):
@@ -597,7 +677,8 @@ class HostAligner:
                 gc[km] = gc.get(km, 0) + counts[km]
         self._bub_batch = {}
 
-    def process_pair(self, title: str, seq1: str, seq2: str, src: int = -1):
+    def process_pair(self, title: str, seq1: str, seq2: str, src: int = -1,
+                     quals=(None, None)):
         cfg, g = self.cfg, self.g
         st = self.stats
         k = cfg.ksize
@@ -635,8 +716,14 @@ class HostAligner:
 
         if cfg.bait:
             bdb = g.bait_dbs[dest]
-            bf1 = bfilter_fps(bdb, caks1)
-            bf2 = bfilter_fps(bdb, caks2)
+            if cfg.is_fastq:
+                qkm1 = qstring_to_qmask(quals[0], cfg.qth, cfg.ksize)
+                qkm2 = qstring_to_qmask(quals[1], cfg.qth, cfg.ksize)
+                bf1 = bfilter_fps(bdb, caks1, qkm1)
+                bf2 = bfilter_fps(bdb, caks2, qkm2)
+            else:
+                bf1 = bfilter_fps(bdb, caks1)
+                bf2 = bfilter_fps(bdb, caks2)
             r1.bf, r2.bf = int(bf1), int(bf2)
             if bf1 or bf2:
                 st["nBaitFiltered"] += (r1.bf & (not r1.rm)) + (
@@ -681,7 +768,7 @@ class HostAligner:
         if cfg.okam and ((src != g.nloci and src != -1) or dest != g.nloci):
             self.kam_rows.append(
                 _kam_row(title, src, dest, dst0, r1, r2, seq1, seq2,
-                         cfg.is_fastq)
+                         cfg.is_fastq, quals[0] or ".", quals[1] or ".")
             )
 
     def _thread_pair(self, title, seq1, seq2, src, dest):

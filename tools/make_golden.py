@@ -278,6 +278,26 @@ def main():
          "bait.FPSkmer.tsv"), str(NLOCI), pan])
     align(["-b", "-s", "2", "-o"], os.path.join(OUT, "out.bait"),
           "out.bait.kam", reads="reads.sim.fa")
+    # --- fastq flow: qualities + qual-masked bait (align -fq -b) ---
+    rngq = np.random.default_rng(21)
+    with open(os.path.join(OUT, "reads.sim.fa")) as fin, \
+            open(os.path.join(OUT, "reads.sim.fq"), "w") as fout:
+        for line in fin:
+            if line.startswith(">"):
+                title = line[1:].rstrip()
+                seq = next(fin).rstrip()
+                q = np.full(len(seq), ord("I"), dtype=np.uint8)
+                # sprinkle low-quality bases (below default qth=20)
+                nlow = int(rngq.integers(0, 6))
+                for p in rngq.integers(0, len(seq), nlow):
+                    q[p] = ord("#")  # Q2
+                fout.write(f"@{title}\n{seq}\n+\n{q.tobytes().decode()}\n")
+    with open(os.path.join(OUT, "out.fq.kam"), "w") as kam:
+        run([f"{REFBIN}/danbing-tk", "-k", str(KSIZE), "-qs", pan, "-fq",
+             os.path.join(OUT, "reads.sim.fq"), "-p", "1", "-cth", "20",
+             "-kf", "4", "1", "-b", "-s", "2", "-o",
+             os.path.join(OUT, "out.fq")], stdout=kam)
+
     # --- ktools subcommand goldens: raava, extract, extract-bt, sum, ksi;
     # align -qc ---
     run([f"{REFBIN}/genPanKmers", "-tr", "-o", os.path.join(OUT,
