@@ -105,8 +105,10 @@ def fa2kmers(out_pref: str, fastas: list[str], k: int = 21, fsi: int = 700,
              fso: int = 700, nfile2count: int | None = None,
              gen_graph: bool = True, tr_only: bool = False,
              threshold: int = 0, orthomap: list[list[bool]] | None = None,
-             nloci: int | None = None):
-    """Writes <out_pref>.tr.kmers [+ .fl.kmers, .graph.kmers] (-on format).
+             nloci: int | None = None, binary: bool = False):
+    """Writes <out_pref>.tr.kmers [+ .fl.kmers, .graph.kmers] (-on format),
+    or binary .kmdb files when ``binary`` (the reference's default -o mode,
+    dumpKmerMapDB with u64 values).
 
     orthomap[locus][hap] = present; when given, each hap's records map to
     the loci marked present (fa2kmers.cpp:116-121,146).
@@ -140,12 +142,36 @@ def fa2kmers(out_pref: str, fastas: list[str], k: int = 21, fsi: int = 700,
                     _graph_into(gr[locus], seq, k)
             locus += 1
 
-    _write(out_pref + ".tr.kmers", tr, threshold)
-    if not tr_only:
-        _write(out_pref + ".fl.kmers", fl, threshold)
-        if gen_graph:
-            _write(out_pref + ".graph.kmers", gr, 0)
+    if binary:
+        _write_kmdb(out_pref + ".tr.kmdb", tr, threshold)
+        if not tr_only:
+            _write_kmdb(out_pref + ".fl.kmdb", fl, threshold)
+            if gen_graph:
+                _write_kmdb(out_pref + ".graph.kmdb", gr, 0)
+    else:
+        _write(out_pref + ".tr.kmers", tr, threshold)
+        if not tr_only:
+            _write(out_pref + ".fl.kmers", fl, threshold)
+            if gen_graph:
+                _write(out_pref + ".graph.kmers", gr, 0)
     return tr, fl, gr
+
+
+def _write_kmdb(path: str, dbs, threshold: int):
+    from ..io import binary as bio
+
+    index, ks, vs = [], [], []
+    for db in dbs:
+        nskip = 0
+        for km, c in db.items_in_map_order():
+            if c >= threshold:
+                ks.append(km)
+                vs.append(c)
+            else:
+                nskip += 1
+        index.append(len(db) - nskip)
+    bio.write_kmap_db(path, np.array(index, np.uint64),
+                      np.array(ks, np.uint64), np.array(vs, np.uint64))
 
 
 def _write(path: str, dbs, threshold: int):

@@ -261,7 +261,9 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
 
         pair_nonshort = (any_valid.reshape(P, 2).all(axis=1)) & live
         if DEBUG_STOP == 'probe':
-            return state, dict(x=found.sum() + val.sum())
+            s2 = dict(state); s2['stats'] = state['stats'].at[0].add(
+                (found.sum() + val.sum()).astype(state['stats'].dtype))
+            return s2, dict(x=s2['stats'][0])
 
         # ---- subfilter ----
         nf, nmf = cfg.n_filter, cfg.nm_filter
@@ -386,8 +388,10 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
         hf = (hf.reshape(-1) & (kf == 0)).astype(jnp.int32)  # non-kf'd mates
 
         if DEBUG_STOP == 'vote':
-            return state, dict(x=top_loc.sum() + top_f.sum() + top_r.sum()
-                               + n_top.sum() + overflow.sum())
+            s2 = dict(state); s2['stats'] = state['stats'].at[0].add(
+                (top_loc.sum() + top_f.sum() + top_r.sum()
+                 + n_top.sum() + overflow.sum()).astype(state['stats'].dtype))
+            return s2, dict(x=s2['stats'][0])
         # QC: drop pairs whose assigned locus fails the mask (:2059-2062)
         if qc_arr is not None:
             qc_ok = qc_arr[jnp.clip(dst0, 0, nloci).astype(jnp.int32)] == 1
@@ -446,7 +450,9 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
         slot = (aval >> 3).astype(jnp.int32)
 
         if DEBUG_STOP == 'annot':
-            return state, dict(x=ann.sum() + slot.sum())
+            s2 = dict(state); s2['stats'] = state['stats'].at[0].add(
+                (ann.sum() + slot.sum()).astype(state['stats'].dtype))
+            return s2, dict(x=s2['stats'][0])
         # ---- assignTRkmc state machine (vectorized) ----
         lk = _seg_last_nonzero_excl(ann)              # last known before i
         known = ann > 0

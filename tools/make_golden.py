@@ -278,6 +278,11 @@ def main():
          "bait.FPSkmer.tsv"), str(NLOCI), pan])
     align(["-b", "-s", "2", "-o"], os.path.join(OUT, "out.bait"),
           "out.bait.kam", reads="reads.sim.fa")
+    # --- fa2kmers binary (-o default) output golden ---
+    run([f"{REFBIN}/fa2kmers", "-g", "-k", str(KSIZE), "-fsi", str(FS),
+         "-fso", str(FS), "-o", os.path.join(OUT, "panbin"), "-fa",
+         str(NHAP)] + hapfiles)
+
     # --- fastq flow: qualities + qual-masked bait (align -fq -b) ---
     rngq = np.random.default_rng(21)
     with open(os.path.join(OUT, "reads.sim.fa")) as fin, \
