@@ -301,6 +301,28 @@ def bp_svm_filter(tribes, bdf, model_fn: str):
     return tri2vbes
 
 
+def build_metadata(pref: str, qcfilter=None):
+    """Builds (qcfilter, tri2trks, tri2ntrks) from an RPGG's bidirectional
+    kset DBs (`ktools raava` outputs <pref>.bi_tr.kdb / .bi_fl.kdb) --
+    the reference ships this as an opaque pickle."""
+    from ..io import binary as bio
+
+    def load(path):
+        index, ks = bio.read_kset_db(path)
+        out = {}
+        p = 0
+        for tri, n in enumerate(index.tolist()):
+            out[tri] = set(ks[p : p + n].tolist())
+            p += n
+        return out
+
+    tri2trks = load(pref + ".bi_tr.kdb")
+    tri2ntrks = load(pref + ".bi_fl.kdb")
+    if qcfilter is None:
+        qcfilter = np.ones(len(tri2trks), dtype=int)
+    return qcfilter, tri2trks, tri2ntrks
+
+
 def call_rare_variants(qcfilter, tri2trks, tri2ntrks, tr_kmers_fn,
                        tr_index_fn, bub_fn, br_svm_fn, bp_svm_fn, ntr,
                        th=10, th1=5, th2=2, th3=8,

@@ -114,6 +114,22 @@ def _cmd_bam2pe(args):
         bam2pe(f, sys.stdout)
 
 
+def _cmd_call(args):
+    import pickle
+
+    from ..analysis.rarevariant import build_metadata, call_rare_variants
+
+    qcf, trks, ntrks = build_metadata(args.pref)
+    out = call_rare_variants(
+        qcf, trks, ntrks, args.tr_kmers, args.tr_index, args.bub,
+        args.br_svm, args.bp_svm, len(trks), th=args.th,
+        graph_size_limit=args.graph_size_limit)
+    with open(args.out, "wb") as f:
+        pickle.dump(out, f)
+    print(f"{sum(len(v[0]) for v in out.values())} edges in callset",
+          file=sys.stderr)
+
+
 def _cmd_bench(args):
     import runpy
 
@@ -217,6 +233,18 @@ def main(argv=None):
 
     be = sub.add_parser("bench")
     be.set_defaults(fn=_cmd_bench)
+
+    ca = sub.add_parser("call", help="rare-variant (novel bubble) calling")
+    ca.add_argument("pref", help="RPGG prefix (needs .bi_tr/.bi_fl.kdb)")
+    ca.add_argument("tr_kmers")
+    ca.add_argument("tr_index")
+    ca.add_argument("bub")
+    ca.add_argument("br_svm")
+    ca.add_argument("bp_svm")
+    ca.add_argument("out")
+    ca.add_argument("--th", type=int, default=10)
+    ca.add_argument("--graph-size-limit", type=int, default=10000)
+    ca.set_defaults(fn=_cmd_call)
 
     args = p.parse_args(argv)
     args.fn(args)
