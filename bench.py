@@ -72,6 +72,19 @@ def main():
     rlen = jax.device_put(jnp.asarray(rlen))
     live = jax.device_put(jnp.asarray(live))
 
+    # genome-wide prefilter rate (the cheap sampled-kmer pass that rejects
+    # ~99% of non-TR pairs before the full pipeline)
+    pre = da.make_prefilter_step(drp, cfg, P, L)
+    t0 = time.time()
+    s = pre(codes, rlen, live)
+    jax.block_until_ready(s)
+    pre_compile = time.time() - t0
+    t0 = time.time()
+    for _ in range(nsteps * 4):
+        s = pre(codes, rlen, live)
+    jax.block_until_ready(s)
+    pre_rate = nsteps * 4 * 2 * P / (time.time() - t0)
+
     t0 = time.time()
     state, out = step(state, codes, rlen, live)
     jax.block_until_ready(out["vote_pass"])
@@ -96,7 +109,8 @@ def main():
     print(f"# device={jax.devices()[0]} compile={compile_s:.1f}s "
           f"steady={dt/nsteps*1e3:.1f}ms/step P={P} nloci={nloci} "
           f"index_keys={len(rpgg.dbi)} "
-          f"kmer_lookups/s={lookups_per_sec:.3e}", file=sys.stderr)
+          f"kmer_lookups/s={lookups_per_sec:.3e} "
+          f"prefilter_reads/s={pre_rate:.3e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

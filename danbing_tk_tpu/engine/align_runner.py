@@ -35,6 +35,10 @@ def _decode(codes: np.ndarray, rlen: int) -> str:
 class DeviceAlignRunner:
     def __init__(self, rpgg: RPGG, cfg: AlignConfig, batch_pairs: int = 4096,
                  max_read_len: int = 256, expand_cap: int = 512):
+        # expand_cap bounds the per-pair (kmer -> loci) expansion; pairs
+        # exceeding it fall to the host referee (exact).  Smaller caps cut
+        # device time ~35% but blow up the referee rate on RPGGs with
+        # heavily shared motifs -- tune per index.
         self.rpgg = rpgg
         self.cfg = cfg
         self.P = batch_pairs
@@ -57,14 +61,30 @@ class DeviceAlignRunner:
     # -- batching --
 
     def run_file_native(self, path: str, checkpoint: str | None = None,
-                        checkpoint_every: int = 1_000_000):
+                        checkpoint_every: int = 1_000_000,
+                        prefilter: bool = False):
         """Production ingest: the C reader packs batches directly; read
         strings are only materialized (decoded from the 2-bit codes) for
-        referee-flagged pairs."""
+        referee-flagged pairs.
+
+        With ``prefilter`` a cheap sampled-kmer device pass drops
+        non-matching pairs first (the reference subfilter; genome-wide
+        ~99% of pairs die there) and only densely re-packed survivors run
+        the full pipeline."""
         cfg = self.cfg
         assert not cfg.okam and not cfg.output_bubbles and \
             not cfg.simmode, "native path covers counting mode"
         from ..io.native_reader import NativeBatchReader
+
+        if prefilter:
+            assert checkpoint is None, "prefilter+checkpoint: not yet"
+            if not hasattr(self, "prefilter_step"):
+                self.prefilter_step = da.make_prefilter_step(
+                    self.drp, cfg, self.P, self.L)
+            self.n_prefiltered = 0
+            buf_codes = np.full((2 * self.P, self.L), 255, dtype=np.uint8)
+            buf_rlen = np.zeros(2 * self.P, dtype=np.int32)
+            nbuf = 0
 
         done = self._load_checkpoint(checkpoint) if checkpoint else 0
         cursor = 0
@@ -72,10 +92,8 @@ class DeviceAlignRunner:
         reader = NativeBatchReader(
             path, self.P, self.L, is_fastq=cfg.is_fastq,
             min_read_size=cfg.cth + cfg.ksize - 1, with_titles=False)
-        for codes, rlen, n, _ in reader:
-            if cursor + n <= done:
-                cursor += n
-                continue
+
+        def full_step(codes, rlen, n):
             live = np.zeros(self.P, dtype=bool)
             live[:n] = True
             self.state, out = self.step(self.state, codes, rlen, live)
@@ -85,11 +103,39 @@ class DeviceAlignRunner:
                 s1 = _decode(codes[2 * i], rlen[2 * i])
                 s2 = _decode(codes[2 * i + 1], rlen[2 * i + 1])
                 self.host.process_pair(">r", s1, s2, -1)
+
+        for codes, rlen, n, _ in reader:
+            if cursor + n <= done:
+                cursor += n
+                continue
+            if prefilter:
+                live = np.zeros(self.P, dtype=bool)
+                live[:n] = True
+                surv = np.asarray(
+                    self.prefilter_step(codes, rlen, live))[:n]
+                idx = np.nonzero(surv)[0]
+                self.n_prefiltered += int(n - len(idx))
+                for i in idx:
+                    buf_codes[2 * nbuf] = codes[2 * i]
+                    buf_codes[2 * nbuf + 1] = codes[2 * i + 1]
+                    buf_rlen[2 * nbuf] = rlen[2 * i]
+                    buf_rlen[2 * nbuf + 1] = rlen[2 * i + 1]
+                    nbuf += 1
+                    if nbuf == self.P:
+                        full_step(buf_codes, buf_rlen, nbuf)
+                        buf_codes = np.full((2 * self.P, self.L), 255,
+                                            dtype=np.uint8)
+                        buf_rlen = np.zeros(2 * self.P, dtype=np.int32)
+                        nbuf = 0
+            else:
+                full_step(codes, rlen, n)
             cursor += n
             since += n
             if checkpoint and since >= checkpoint_every:
                 self._save_checkpoint(checkpoint, cursor)
                 since = 0
+        if prefilter and nbuf:
+            full_step(buf_codes, buf_rlen, nbuf)
         self.host.flush_batch()
         if checkpoint and since:
             self._save_checkpoint(checkpoint, cursor)

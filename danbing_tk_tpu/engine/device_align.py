@@ -214,8 +214,69 @@ def _take_rows(a, idx):
     return jnp.take_along_axis(a, idxc[..., None], axis=-1)[..., 0]
 
 
+def make_prefilter_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
+                        jit: bool = True):
+    """Cheap first-pass subfilter (reference subfilter :172-188): probe only
+    n_filter sampled k-mers per read; a pair survives if both mates hit
+    >= nm_filter.  Genome-wide, ~99% of read pairs die here, so the full
+    pipeline only sees survivors (host re-packs them densely).
+
+    Returns step(codes, rlen, live) -> survive (P,) bool, byte-identical
+    in decision to the full step's subfilter stage.
+    """
+    k = cfg.ksize
+    nf, nmf = cfg.n_filter, cfg.nm_filter
+    dbi_lv = [(jnp.asarray(t), s) for t, s in drp.dbi_tab.levels]
+
+    def step(codes, rlen, live):
+        B = codes.shape[0]
+        nk = jnp.maximum(rlen - k + 1, 0)
+        S = nk // (nf - 1)
+        # sampled window start positions per read: i*S (i<nf-1), nk-1
+        starts = jnp.stack(
+            [jnp.where(jnp.int32(i) != nf - 1, i * S, nk - 1)
+             for i in range(nf)], axis=1)                       # (B, nf)
+        starts = jnp.clip(starts, 0, L - k)
+        # gather the k bases of each sampled window
+        pos = starts[:, :, None] + jnp.arange(k, dtype=jnp.int32)[None,
+                                                                  None, :]
+        b = jnp.take_along_axis(
+            codes[:, None, :].repeat(nf, 1), pos, axis=2)       # (B,nf,k)
+        valid = (b != np.uint8(255)).all(axis=2) & \
+            (starts < nk[:, None])
+        c = jnp.where(b == np.uint8(255), 0, b).astype(jnp.uint32)
+        flo = jnp.zeros((B, nf), jnp.uint32)
+        fhi = jnp.zeros((B, nf), jnp.uint32)
+        rlo = jnp.zeros((B, nf), jnp.uint32)
+        rhi = jnp.zeros((B, nf), jnp.uint32)
+        for j in range(k):
+            t = 2 * (k - 1 - j)
+            if t < 32:
+                flo = flo | (c[:, :, j] << t)
+            else:
+                fhi = fhi | (c[:, :, j] << (t - 32))
+            t2 = 2 * j
+            if t2 < 32:
+                rlo = rlo | ((np.uint32(3) - c[:, :, j]) << t2)
+            else:
+                rhi = rhi | ((np.uint32(3) - c[:, :, j]) << (t2 - 32))
+        use_r = (rhi < fhi) | ((rhi == fhi) & (rlo < flo))
+        qlo = jnp.where(valid, jnp.where(use_r, rlo, flo), EMPTY)
+        qhi = jnp.where(valid, jnp.where(use_r, rhi, fhi), EMPTY)
+        found, _ = dt.lookup_bucket_jax(drp.dbi_tab, qlo, qhi,
+                                        levels_dev=dbi_lv)
+        found = found & valid
+        hits = found.sum(axis=1)
+        read_pass = hits >= nmf
+        nonshort = nk > 0
+        survive = (read_pass & nonshort).reshape(P, 2).all(axis=1) & live
+        return survive
+
+    return jax.jit(step) if jit else step
+
+
 def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
-              expand_cap: int = 512, with_annot: bool = True,
+              expand_cap: int = 128, with_annot: bool = True,
               with_bubbles: bool = False, jit: bool = True,
               threading: bool = False):
     """Builds the (by default jitted) per-batch function.

@@ -23,3 +23,18 @@ def test_native_align_counts(golden_dir):
 
     gold = read_karray(os.path.join(golden_dir, "out.trkmc.ar"))
     np.testing.assert_array_equal(b.flat_counts(), gold)
+
+
+def test_native_align_prefiltered(golden_dir):
+    """Two-phase prefilter path: identical counts, ~background pairs die
+    in the cheap pass."""
+    reads = os.path.join(golden_dir, "reads.fa")
+    cfg = AlignConfig(ksize=21, cth=20, n_filter=4, nm_filter=1, okam=False)
+    c = DeviceAlignRunner(RPGG(os.path.join(golden_dir, "pan")), cfg,
+                          batch_pairs=1024, max_read_len=192)
+    c.run_file_native(reads, prefilter=True)
+    from danbing_tk_tpu.io.binary import read_karray
+
+    gold = read_karray(os.path.join(golden_dir, "out.trkmc.ar"))
+    np.testing.assert_array_equal(c.flat_counts(), gold)
+    assert c.n_prefiltered >= 200  # the background pairs
