@@ -276,7 +276,7 @@ def make_prefilter_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
 
 
 def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
-              expand_cap: int = 128, with_annot: bool = True,
+              expand_cap: int = 512, with_annot: bool = True,
               with_bubbles: bool = False, jit: bool = True,
               threading: bool = False):
     """Builds the (by default jitted) per-batch function.

@@ -565,6 +565,13 @@ def parse_read_name_sim2(title: str, nloci: int) -> int:
     return nloci if val[:1] == "." else int(val)
 
 
+def parse_read_name_sim1(title: str) -> int:
+    """simmode 1: >$LOCUS.$IND -> locus (reads grouped by locus; the
+    reference tracks group boundaries per read, equivalent per pair for
+    grouped input -- parseReadName aQueryFasta_thread.cpp:477-490)."""
+    return int(title[1 : title.find(".")])
+
+
 def iter_fasta_pairs(path: str, min_read_size: int, nloci: int,
                      simmode: int = 0, batch_pairs: int = 150000,
                      is_fastq: bool = False):
@@ -595,8 +602,9 @@ def iter_fasta_pairs(path: str, min_read_size: int, nloci: int,
                 if (len(seq) < min_read_size
                         or len(prev[0]) < min_read_size):
                     continue
-                src = (parse_read_name_sim2(title, nloci)
-                       if simmode == 2 else -1)
+                src = (parse_read_name_sim2(title, nloci) if simmode == 2
+                       else parse_read_name_sim1(title) if simmode == 1
+                       else -1)
                 batch.append((title, seq, prev[0], src, qual, prev[1]))
                 if len(batch) >= batch_pairs:
                     yield batch
@@ -617,8 +625,9 @@ def iter_fasta_pairs(path: str, min_read_size: int, nloci: int,
                     if len(seq) < min_read_size or len(prev) < min_read_size:
                         continue
                     src = (
-                        parse_read_name_sim2(title, nloci)
-                        if simmode == 2 else -1
+                        parse_read_name_sim2(title, nloci) if simmode == 2
+                        else parse_read_name_sim1(title) if simmode == 1
+                        else -1
                     )
                     batch.append((title, seq, prev, src))
                     if len(batch) >= batch_pairs:

@@ -278,6 +278,37 @@ def main():
          "bait.FPSkmer.tsv"), str(NLOCI), pan])
     align(["-b", "-s", "2", "-o"], os.path.join(OUT, "out.bait"),
           "out.bait.kam", reads="reads.sim.fa")
+    # --- simmode-1 golden (reads grouped by locus, >LOCUS.IND titles) ---
+    pairs_by_title = {}
+    order = []
+    with open(os.path.join(OUT, "reads.sim.fa")) as fin:
+        while True:
+            t = fin.readline()
+            if not t:
+                break
+            s = fin.readline().rstrip()
+            t = t[1:].rstrip()
+            base, mate = t.rsplit("/", 1)
+            if base not in pairs_by_title:
+                pairs_by_title[base] = {}
+                order.append(base)
+            pairs_by_title[base][mate] = s
+    def locus_of(base):
+        v = base.split(":")[2]
+        return NLOCI if v == "." else int(v)
+    order.sort(key=locus_of)
+    with open(os.path.join(OUT, "reads.s1.fa"), "w") as fout:
+        for i, base in enumerate(order):
+            loc = locus_of(base)
+            for mate in ("1", "2"):
+                fout.write(f">{loc}.{i}/{mate}\n"
+                           f"{pairs_by_title[base][mate]}\n")
+    with open(os.path.join(OUT, "out.s1.kam"), "w") as kam:
+        run([f"{REFBIN}/danbing-tk", "-k", str(KSIZE), "-qs", pan, "-fa",
+             os.path.join(OUT, "reads.s1.fa"), "-p", "1", "-cth", "20",
+             "-kf", "4", "1", "-s", "1", "-o", os.path.join(OUT,
+             "out.s1")], stdout=kam)
+
     # --- fa2kmers binary (-o default) output golden ---
     run([f"{REFBIN}/fa2kmers", "-g", "-k", str(KSIZE), "-fsi", str(FS),
          "-fso", str(FS), "-o", os.path.join(OUT, "panbin"), "-fa",
