@@ -379,6 +379,11 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
             (s_use & (s_mate == 1)).astype(jnp.int32), posW, run_end), 0)
         rval = s_val                                # valid at run starts
 
+        if DEBUG_STOP == 'vote_sort1':
+            s2 = dict(state); s2['stats'] = state['stats'].at[0].add(
+                (fcnt.sum() + rcnt.sum() + rval.sum()).astype(
+                    state['stats'].dtype))
+            return s2, dict(x=s2['stats'][0])
         odd = (rval & 1) == 1
         nmapped = jnp.where(
             odd, vv[jnp.clip((rval >> 1).astype(jnp.int32), 0,
@@ -414,6 +419,11 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
         e_r = jnp.where(evalid_exp,
                         jnp.take_along_axis(rcnt, erun, axis=-1), 0)
 
+        if DEBUG_STOP == 'vote_expand':
+            s2 = dict(state); s2['stats'] = state['stats'].at[0].add(
+                (e_locus.sum() + e_f.sum() + e_r.sum()).astype(
+                    state['stats'].dtype))
+            return s2, dict(x=s2['stats'][0])
         # per-(pair, locus) totals: in-row sort + prefix-sum differences at
         # segment starts (scatter-free)
         g_loc, g_f, g_r = jax.lax.sort(
