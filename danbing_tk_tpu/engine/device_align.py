@@ -400,10 +400,13 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
         eidx = jnp.arange(E, dtype=jnp.int32)[None, :]
         can_scatter = newrun & (nmapped > 0) & (starts < E)
         rowsW = jnp.arange(P, dtype=jnp.int32)[:, None].repeat(W, 1)
+        # run starts are strictly increasing and unique per row; masked
+        # runs scatter out of bounds (dropped) so the scatter keeps the
+        # unique+sorted fast path instead of XLA's serialized dedup
         erun0 = jnp.full((P, E), -1, jnp.int32).at[
-            rowsW, jnp.where(can_scatter, jnp.clip(starts, 0, E - 1),
-                             E - 1)].max(
-            jnp.where(can_scatter, posW, -1))
+            rowsW, jnp.where(can_scatter, starts, E)].max(
+            posW, mode="drop", unique_indices=True,
+            indices_are_sorted=True)
         erun = jnp.clip(_cummax(erun0), 0, W - 1)
         evalid_exp = eidx < jnp.minimum(total, E)[:, None]
         e_rval = jnp.take_along_axis(rval, erun, axis=-1)
