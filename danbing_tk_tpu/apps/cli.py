@@ -26,7 +26,7 @@ def _cmd_align(args):
         correction=bool(args.gc),
     )
     rpgg = RPGG(args.qs, bait=args.b, qc_file=args.qc)
-    if args.device and not cfg.threading and not cfg.bait:
+    if args.device:
         from ..engine.align_runner import DeviceAlignRunner
 
         al = DeviceAlignRunner(rpgg, cfg)
