@@ -521,15 +521,13 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
                 [jnp.ones((2 * P, 1), bool),
                  (bs_hi[:, 1:] != bs_hi[:, :-1])
                  | (bs_lo[:, 1:] != bs_lo[:, :-1])], axis=1)
-            brid = jnp.cumsum(bnew.astype(jnp.int32), axis=-1) - 1
-            brid = jnp.where(bs_valid, brid, NKW - 1)
-            rows2 = jnp.arange(2 * P, dtype=jnp.int32)[:, None].repeat(
-                NKW, 1)
-            bcnt_run = jnp.zeros((2 * P, NKW), jnp.int32).at[
-                rows2, brid].add(jnp.where(bs_valid, 1, 0))
-            # u8 wrap as in the reference's kc8_t; broadcast run counts
-            # back to positions (probes live at run-START positions)
-            bcnt = jnp.take_along_axis(bcnt_run & 0xFF, brid, axis=-1)
+            # per-kmer count = run length = next run start - own position
+            # (probes live at run-START positions; u8 wrap per kc8_t)
+            bnxt = _next_true_idx_excl(bnew)
+            bused = jnp.sum(bs_valid, axis=-1, keepdims=True)
+            bposW = jnp.arange(NKW, dtype=jnp.int32)[None, :]
+            bcnt = jnp.where(
+                bnew, jnp.minimum(bnxt, bused) - bposW, 0) & 0xFF
             bq_lo = jnp.where(bnew, bs_lo, EMPTY)
             bq_hi = jnp.where(bnew, bs_hi, EMPTY)
             bfound, bval = dt.lookup_bucket_jax(
