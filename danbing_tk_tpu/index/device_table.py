@@ -231,7 +231,9 @@ def build_bucket_table(keys, vals, loci=None, lam: float = 5.0,
         if composite:
             tab[bb, pp, 2] = loc[sel]
         tab[bb, pp, W - 1] = vals[sel]
-        levels.append((tab, salt))
+        # store rows FLAT (nb, BUCKET*W): 3-D row gathers lower ~3x slower
+        # than 2-D on TPU; lookups reshape after the gather
+        levels.append((tab.reshape(nb, BUCKET * W), salt))
         idx = idx[order[~fits]]
         salt += 1
     return BucketTable(levels, composite)
@@ -248,7 +250,7 @@ def lookup_bucket_np(tab: BucketTable, keys, loci=None):
     for t, salt in tab.levels:
         nb = t.shape[0]
         b = _salted_hash_np(lo, hi, loc, salt) & np.uint32(nb - 1)
-        rows = t[b]                      # (N, BUCKET, W)
+        rows = t[b].reshape(len(b), BUCKET, W)
         m = (rows[:, :, 0] == lo[:, None]) & (rows[:, :, 1] == hi[:, None])
         if tab.composite:
             m &= rows[:, :, 2] == loc[:, None]
@@ -292,7 +294,7 @@ def lookup_bucket_jax(tab: BucketTable, q_lo, q_hi, q_loc=None,
         if q_loc is not None:
             h = mix32(h ^ q_loc.astype(jnp.uint32))
         b = (mix32(q_lo ^ h) & np.uint32(nb - 1)).astype(jnp.int32)
-        rows = t[b]                      # (..., BUCKET, W)
+        rows = t[b].reshape(b.shape + (BUCKET, W))
         m = (rows[..., 0] == q_lo[..., None]) & \
             (rows[..., 1] == q_hi[..., None])
         if tab.composite:
