@@ -246,39 +246,29 @@ def make_prefilter_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
 
     def step(codes, rlen, live):
         B = codes.shape[0]
-        nk = jnp.maximum(rlen - k + 1, 0)
+        NKW = L - k + 1
+        ex = extract_kmers_edges(codes, rlen, k)
+        nk = ex["nk"]
         S = nk // (nf - 1)
         # sampled window start positions per read: i*S (i<nf-1), nk-1
         starts = jnp.stack(
             [jnp.where(jnp.int32(i) != nf - 1, i * S, nk - 1)
              for i in range(nf)], axis=1)                       # (B, nf)
-        starts = jnp.clip(starts, 0, L - k)
-        # gather the k bases of each sampled window
-        pos = starts[:, :, None] + jnp.arange(k, dtype=jnp.int32)[None,
-                                                                  None, :]
-        b = jnp.take_along_axis(
-            codes[:, None, :].repeat(nf, 1), pos, axis=2)       # (B,nf,k)
-        valid = (b != np.uint8(255)).all(axis=2) & \
-            (starts < nk[:, None])
-        c = jnp.where(b == np.uint8(255), 0, b).astype(jnp.uint32)
-        flo = jnp.zeros((B, nf), jnp.uint32)
-        fhi = jnp.zeros((B, nf), jnp.uint32)
-        rlo = jnp.zeros((B, nf), jnp.uint32)
-        rhi = jnp.zeros((B, nf), jnp.uint32)
-        for j in range(k):
-            t = 2 * (k - 1 - j)
-            if t < 32:
-                flo = flo | (c[:, :, j] << t)
-            else:
-                fhi = fhi | (c[:, :, j] << (t - 32))
-            t2 = 2 * j
-            if t2 < 32:
-                rlo = rlo | ((np.uint32(3) - c[:, :, j]) << t2)
-            else:
-                rhi = rhi | ((np.uint32(3) - c[:, :, j]) << (t2 - 32))
-        use_r = (rhi < fhi) | ((rhi == fhi) & (rlo < flo))
-        qlo = jnp.where(valid, jnp.where(use_r, rlo, flo), EMPTY)
-        qhi = jnp.where(valid, jnp.where(use_r, rhi, fhi), EMPTY)
+        starts = jnp.clip(starts, 0, NKW - 1)
+        # gather the canonical k-mers at the sampled positions via a
+        # one-hot MXU matmul (u32 split into exact 16-bit halves)
+        lo16, lo_hi16, hi16, hi_hi16, vmask = _oh_gather(
+            [(ex["klo"] & 0xFFFF).astype(jnp.int32),
+             (ex["klo"] >> 16).astype(jnp.int32),
+             (ex["khi"] & 0xFFFF).astype(jnp.int32),
+             (ex["khi"] >> 16).astype(jnp.int32),
+             ex["kvalid"].astype(jnp.int32)],
+            starts, NKW)
+        qlo = (lo_hi16.astype(jnp.uint32) << 16) | lo16.astype(jnp.uint32)
+        qhi = (hi_hi16.astype(jnp.uint32) << 16) | hi16.astype(jnp.uint32)
+        valid = (vmask == 1) & (starts < nk[:, None])
+        qlo = jnp.where(valid, qlo, EMPTY)
+        qhi = jnp.where(valid, qhi, EMPTY)
         found, _ = dt.lookup_bucket_jax(drp.dbi_tab, qlo, qhi,
                                         levels_dev=dbi_lv)
         found = found & valid
