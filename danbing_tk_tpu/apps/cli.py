@@ -136,6 +136,38 @@ def _cmd_bench(args):
     runpy.run_path("bench.py", run_name="__main__")
 
 
+def _cmd_ktools(args):
+    from ..apps import ktools as kt
+    from ..index.dbi import serialize as dbi_serialize
+
+    a = args.args
+    if args.sub == "ksi":
+        for v in kt.ksi(a[0]):
+            print(v)
+    elif args.sub == "sum":
+        ks = [int(x) for x in open(a[0])]
+        for v in kt.kms_sum(ks, a[1]):
+            print(v)
+    elif args.sub == "extract":
+        kt.extract(a[0], int(a[1]), a[2])
+    elif args.sub == "extract-bt":
+        kt.extract_bt(a[0], a[1], a[2] if len(a) > 2 else None)
+    elif args.sub == "serialize":
+        dbi_serialize(a[0])
+    elif args.sub == "serialize-bt":
+        kt.serialize_bt(a[0], int(a[1]), a[2])
+    elif args.sub == "raava":
+        kt.raava(a[0], int(a[1]))
+
+
+def _cmd_liftbed(args):
+    from ..apps.liftbed_clean import liftbed_clean
+
+    rows = [line.split("\t") for line in
+            open(args.liftbed).read().splitlines()]
+    liftbed_clean(rows, sys.stdout)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="danbing-tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -245,6 +277,34 @@ def main(argv=None):
     ca.add_argument("--th", type=int, default=10)
     ca.add_argument("--graph-size-limit", type=int, default=10000)
     ca.set_defaults(fn=_cmd_call)
+
+    kt = sub.add_parser("ktools", help="index utilities")
+    kt.add_argument("sub", choices=["ksi", "sum", "extract", "extract-bt",
+                                    "serialize", "serialize-bt", "raava"])
+    kt.add_argument("args", nargs="*")
+    kt.set_defaults(fn=_cmd_ktools)
+
+    mk = sub.add_parser("mapkmers")
+    mk.add_argument("panbed")
+    mk.add_argument("target_field", type=int)
+    mk.add_argument("pankmers")
+    mk.add_argument("kmers")
+    mk.add_argument("outpref")
+    mk.set_defaults(fn=lambda a: __import__(
+        "danbing_tk_tpu.apps.mapkmers", fromlist=["mapkmers"]).mapkmers(
+        a.panbed, a.target_field, a.pankmers, a.kmers, a.outpref))
+
+    lb = sub.add_parser("liftbed-clean")
+    lb.add_argument("liftbed")
+    lb.set_defaults(fn=_cmd_liftbed)
+
+    sr2 = sub.add_parser("select-regions")
+    sr2.add_argument("bed")
+    sr2.add_argument("fasta")
+    sr2.add_argument("out")
+    sr2.set_defaults(fn=lambda a: __import__(
+        "danbing_tk_tpu.apps.select_regions",
+        fromlist=["select_regions"]).select_regions(a.bed, a.fasta, a.out))
 
     args = p.parse_args(argv)
     args.fn(args)
