@@ -41,7 +41,9 @@ def main():
     nsteps = int(os.environ.get("DTK_BENCH_STEPS", 8))
     nloci = int(os.environ.get("DTK_BENCH_NLOCI", 512))
 
-    pan = build(os.path.join(root, "build", "bench_rpgg"), nloci)
+    pan = build(os.path.join(root, "build",
+                             f"bench_rpgg{'' if nloci == 512 else nloci}"),
+                nloci)
     rpgg = RPGG(pan)
     cfg = AlignConfig(ksize=21, cth=20, n_filter=4, nm_filter=1)
     drp = da.DeviceRPGG.build(rpgg, with_tre=False)
@@ -52,8 +54,7 @@ def main():
     from danbing_tk_tpu.apps.fa2kmers import read_fasta_seqs
 
     rng = np.random.default_rng(1)
-    seqs = read_fasta_seqs(os.path.join(root, "build", "bench_rpgg",
-                                        "hap0.fa"))
+    seqs = read_fasta_seqs(os.path.join(os.path.dirname(pan), "hap0.fa"))
     codes = np.full((2 * P, L), 255, dtype=np.uint8)
     rlen = np.full(2 * P, L, dtype=np.int32)
     for i in range(2 * P):
