@@ -661,6 +661,16 @@ class HostAligner:
         )
         if cfg.threading:
             rpgg.load_graphs()
+        # native (C++) threading engine: same algorithm at C++ speed;
+        # opt-out via DTK_NO_NATIVE_THREAD=1 (thread_check needs the
+        # Python Cigar objects, so -gcc keeps the Python path)
+        self._nthr = None
+        if cfg.threading and not cfg.tc and not os.environ.get(
+                "DTK_NO_NATIVE_THREAD"):
+            from . import native_thread as nthr
+
+            if nthr.available():
+                self._nthr = nthr.NativeThreader()
 
     def run_file(self, path: str):
         cfg = self.cfg
@@ -789,19 +799,30 @@ class HostAligner:
         k = cfg.ksize
         gf = g.graphs[dest]
         trc = g.tr_counts[dest]
-        cg1 = thr.Cigar(seq1, k)
-        alned0, _, ak0 = thr.is_thread_feasible(
-            gf, seq1, cfg.thread_cth, cfg.correction, cg1, trc, k,
-            cfg.maxncorrection)
-        cg2 = thr.Cigar(seq2, k)
-        alned1, _, ak1 = thr.is_thread_feasible(
-            gf, seq2, cfg.thread_cth, cfg.correction, cg2, trc, k,
-            cfg.maxncorrection)
-        if cfg.tc:
-            if alned0:
-                thr.thread_check(gf, seq1, ak0, cg1, k)
-            if alned1:
-                thr.thread_check(gf, seq2, ak1, cg2, k)
+        if self._nthr is not None:
+            self._nthr.prepare(dest, gf, trc)
+            alned0, es1, tr1, ak0 = self._nthr.thread_read(
+                dest, seq1, cfg.thread_cth, cfg.correction, k,
+                cfg.maxncorrection)
+            alned1, es2, tr2, ak1 = self._nthr.thread_read(
+                dest, seq2, cfg.thread_cth, cfg.correction, k,
+                cfg.maxncorrection)
+        else:
+            cg1 = thr.Cigar(seq1, k)
+            alned0, _, ak0 = thr.is_thread_feasible(
+                gf, seq1, cfg.thread_cth, cfg.correction, cg1, trc, k,
+                cfg.maxncorrection)
+            cg2 = thr.Cigar(seq2, k)
+            alned1, _, ak1 = thr.is_thread_feasible(
+                gf, seq2, cfg.thread_cth, cfg.correction, cg2, trc, k,
+                cfg.maxncorrection)
+            if cfg.tc:
+                if alned0:
+                    thr.thread_check(gf, seq1, ak0, cg1, k)
+                if alned1:
+                    thr.thread_check(gf, seq2, ak1, cg2, k)
+            es1, tr1 = cg1.es, cg1.tr
+            es2, tr2 = cg2.es, cg2.tr
         if alned0 or alned1:
             cak: dict[int, int] = {}
             if alned0:
@@ -832,8 +853,8 @@ class HostAligner:
                 src_s = "." if src == -1 else str(src)
                 self.aln_rows.append(
                     f"{src_s}\t{dest}\t{title}\t{seq2}\t{seq1}\t"
-                    f"{thr.write_cigar(cg2.es)}\t{thr.write_annot(cg2.tr)}\t"
-                    f"{thr.write_cigar(cg1.es)}\t{thr.write_annot(cg1.tr)}\n"
+                    f"{thr.write_cigar(es2)}\t{thr.write_annot(tr2)}\t"
+                    f"{thr.write_cigar(es1)}\t{thr.write_annot(tr1)}\n"
                 )
 
     # ---- outputs ----

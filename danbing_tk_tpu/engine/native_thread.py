@@ -1,0 +1,130 @@
+"""ctypes bindings for the native (C++) graph-threading engine.
+
+``build/libdtk_thread.so`` implements the same algorithm as
+``engine.threading`` (isThreadFeasible + error correction + CIGAR
+surgery) at C++ speed.  The host threading fallback is the serial
+bottleneck of threading-mode runs — the TPU DFA resolves clean walks,
+everything else lands here.
+
+The wrapper returns results in the exact shapes ``host_align._thread_pair``
+consumes: an ``es`` list compatible with ``threading.write_cigar``, the
+``tr`` annotation list for ``write_annot``, and the corrected k-mer
+stream (with NAN64 placeholders preserved) for counting.
+
+Validated byte-exact against the Python engine / the reference oracle by
+tests/test_native_thread.py.
+"""
+
+from __future__ import annotations
+
+import ctypes as C
+import os
+
+import numpy as np
+
+_LIB = None
+
+
+def _find_lib():
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    return os.path.join(here, "build", "libdtk_thread.so")
+
+
+def available() -> bool:
+    return os.path.exists(_find_lib())
+
+
+def _load():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    lib = C.CDLL(_find_lib())
+    lib.dtk_graph_new.restype = C.c_void_p
+    lib.dtk_graph_add.argtypes = [C.c_void_p, C.POINTER(C.c_uint64),
+                                  C.POINTER(C.c_uint8), C.c_int64]
+    lib.dtk_graph_free.argtypes = [C.c_void_p]
+    lib.dtk_thread_read.restype = C.c_int
+    lib.dtk_thread_read.argtypes = [
+        C.c_void_p, C.c_void_p, C.c_char_p, C.c_int64, C.c_uint64,
+        C.c_int, C.c_uint64, C.c_int, C.c_char_p,
+        C.POINTER(C.c_int64), C.c_char_p, C.POINTER(C.c_int64),
+        C.POINTER(C.c_uint64), C.POINTER(C.c_int64)]
+    _LIB = lib
+    return lib
+
+
+class _CGraph:
+    __slots__ = ("h", "lib")
+
+    def __init__(self, lib, kv: dict):
+        self.lib = lib
+        self.h = lib.dtk_graph_new()
+        n = len(kv)
+        if n:
+            keys = np.fromiter(kv.keys(), dtype=np.uint64, count=n)
+            vals = np.fromiter((v & 0xFF for v in kv.values()),
+                               dtype=np.uint8, count=n)
+            lib.dtk_graph_add(
+                self.h, keys.ctypes.data_as(C.POINTER(C.c_uint64)),
+                vals.ctypes.data_as(C.POINTER(C.c_uint8)), n)
+
+    def __del__(self):
+        if self.h:
+            self.lib.dtk_graph_free(self.h)
+            self.h = None
+
+
+class NativeThreader:
+    """Per-RPGG cache of native graph handles + the thread_read call."""
+
+    def __init__(self):
+        self.lib = _load()
+        self._graphs: dict[int, _CGraph] = {}
+        self._trks: dict[int, _CGraph] = {}
+        # scratch buffers (grown on demand)
+        self._cap = 4096
+        self._es = C.create_string_buffer(self._cap)
+        self._tr = C.create_string_buffer(self._cap)
+        self._km = np.empty(self._cap, dtype=np.uint64)
+
+    def prepare(self, locus: int, graph: dict, tr_counts: dict):
+        if locus not in self._graphs:
+            self._graphs[locus] = _CGraph(self.lib, graph)
+            self._trks[locus] = _CGraph(
+                self.lib, {k: 0 for k in tr_counts})
+
+    def thread_read(self, locus: int, seq: str, thread_cth: int,
+                    correction: bool, ksize: int, maxncorrection: int):
+        """-> (status, es, tr, kmers); es rows are [type, '', graph_nuc]
+        (read nucleotides are never consulted by write_cigar)."""
+        need = 4 * max(len(seq), 64)
+        if need > self._cap:
+            self._cap = need
+            self._es = C.create_string_buffer(self._cap)
+            self._tr = C.create_string_buffer(self._cap)
+            self._km = np.empty(self._cap, dtype=np.uint64)
+        es_len = C.c_int64(self._cap)
+        tr_len = C.c_int64(self._cap)
+        nk = C.c_int64(self._cap)
+        st = self.lib.dtk_thread_read(
+            self._graphs[locus].h, self._trks[locus].h,
+            seq.encode(), len(seq), thread_cth, int(correction), ksize,
+            maxncorrection, self._es, C.byref(es_len), self._tr,
+            C.byref(tr_len), self._km.ctypes.data_as(
+                C.POINTER(C.c_uint64)), C.byref(nk))
+        raw = self._es.raw[:es_len.value]
+        es = []
+        i = 0
+        while i < len(raw):
+            t = chr(raw[i])
+            i += 1
+            if t in ("X", "D"):
+                gch = chr(raw[i])
+                i += 1
+                es.append([t, "", gch])
+            else:
+                es.append([t, "", ""])
+        tr = [chr(b) for b in self._tr.raw[:tr_len.value]]
+        kmers = [int(x) for x in self._km[:nk.value]]
+        return st, es, tr, kmers
