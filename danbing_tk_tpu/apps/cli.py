@@ -55,7 +55,7 @@ def _cmd_build(args):
     gs = [line.split()[0] for line in open(args.genomes)]
     pan = build_rpgg(args.workdir, args.indir, gs, args.refTR, ksize=args.k,
                      FS=args.fs, TRWINDOW=args.trwindow,
-                     dist_merge=args.dist_merge)
+                     dist_merge=args.dist_merge, nproc=args.p)
     print(pan)
 
 
@@ -204,6 +204,8 @@ def main(argv=None):
     b.add_argument("-fs", type=int, default=700)
     b.add_argument("--trwindow", type=int, default=100000)
     b.add_argument("--dist-merge", type=int, default=700)
+    b.add_argument("-p", type=int, default=1,
+                   help="MBE worker processes (X3 parity)")
     b.set_defaults(fn=_cmd_build)
 
     s = sub.add_parser("serialize", help="ktools serialize equivalent")

@@ -141,9 +141,41 @@ def _load_fasta_indexed(path: str):
     return seqs
 
 
+_G = None  # (beds, fastas, panmap, nh, FS, UB, ksize) for forked workers
+
+
+def _mbe_one(idx: int):
+    """Per-locus MBE unit (reads shared state inherited via fork;
+    mirrors the reference's pickled-shard Pool workers,
+    multiBoundaryExpansion.parallel.py:37-47,300-315)."""
+    beds, fastas, panmap, nh, FS, UB, ksize, TRWINDOW = _G
+    seqs, poss = [None] * nh, [None] * nh
+    for hi in range(nh):
+        if beds[hi, idx, 0] is None:
+            continue
+        ctg = fastas[hi][beds[hi, idx, 0]]
+        s, e = int(beds[hi, idx, 1]), int(beds[hi, idx, 2])
+        ns = s - TRWINDOW if s > TRWINDOW else 0
+        ne = e + TRWINDOW if e + TRWINDOW < len(ctg) else len(ctg)
+        seqs[hi] = ctg[ns:ne]
+        poss[hi] = (s - ns, e - ns)
+    expanded, failed, npos = mbe_locus(seqs, poss, FS, UB, ksize)
+    if expanded:
+        if not all(failed):
+            es = np.average([
+                poss[hi][0] - npos[hi][0] + npos[hi][1] - poss[hi][1]
+                for hi in range(nh) if npos[hi] is not None])
+        else:
+            es = -1
+    else:
+        es = 0
+    return idx, ExpStat(expanded, np.nonzero(failed)[0].tolist(),
+                        es, poss, npos)
+
+
 def run_mbe(workdir: str, indir: str, gs: list[str], ksize: int, FS: int,
             TRWINDOW: int, th1: float = 0.1, th2: float = 0.8,
-            ignore_case: bool = False):
+            ignore_case: bool = False, nproc: int = 1):
     """Full MBE flow over the reference's file layout (tmp1 beds +
     pan.tr.mbe.v0.bed); writes v1 bed + locus map + per-hap tmp2 beds."""
     nh = 2 * len(gs)
@@ -172,33 +204,21 @@ def run_mbe(workdir: str, indir: str, gs: list[str], ksize: int, FS: int,
                 seqs = {k: v.upper() for k, v in seqs.items()}
             fastas.append(seqs)
 
-    idx2exp = {}
+    global _G
     UB = TRWINDOW - FS
-    for idx in range(nloci):
-        if panmap[idx].sum() == 0:
-            continue
-        seqs, poss = [None] * nh, [None] * nh
-        for hi in range(nh):
-            if beds[hi, idx, 0] is None:
-                continue
-            ctg = fastas[hi][beds[hi, idx, 0]]
-            s, e = int(beds[hi, idx, 1]), int(beds[hi, idx, 2])
-            ns = s - TRWINDOW if s > TRWINDOW else 0
-            ne = e + TRWINDOW if e + TRWINDOW < len(ctg) else len(ctg)
-            seqs[hi] = ctg[ns:ne]
-            poss[hi] = (s - ns, e - ns)
-        expanded, failed, npos = mbe_locus(seqs, poss, FS, UB, ksize)
-        if expanded:
-            if not all(failed):
-                es = np.average([
-                    poss[hi][0] - npos[hi][0] + npos[hi][1] - poss[hi][1]
-                    for hi in range(nh) if npos[hi] is not None])
-            else:
-                es = -1
-        else:
-            es = 0
-        idx2exp[idx] = ExpStat(expanded, np.nonzero(failed)[0].tolist(),
-                               es, poss, npos)
+    _G = (beds, fastas, panmap, nh, FS, UB, ksize, TRWINDOW)
+    live = [idx for idx in range(nloci) if panmap[idx].sum() > 0]
+    if nproc > 1:
+        # X3 parity: data-parallel over loci.  fork inherits the loaded
+        # fastas/beds so (unlike the reference) nothing is re-pickled.
+        import multiprocessing as mp
+
+        with mp.get_context("fork").Pool(nproc) as pool:
+            idx2exp = dict(pool.map(_mbe_one, live,
+                                    chunksize=max(1, len(live) // (4 * nproc))))
+    else:
+        idx2exp = dict(_mbe_one(idx) for idx in live)
+    _G = None
 
     _write_bed_mbe(workdir, gs, nh, nloci, panmap, idx2exp, th1, th2)
     return idx2exp

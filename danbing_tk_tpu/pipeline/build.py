@@ -52,7 +52,8 @@ def _step(workdir: str, name: str, fn, force: bool = False):
 def build_rpgg(workdir: str, indir: str, gs: list[str], ref_tr_bed: str,
                ksize: int = 21, FS: int = 700, TRWINDOW: int = 100000,
                dist_merge: int = 700, th1: float = 0.1, th2: float = 0.8,
-               ignore_case: bool = True, force: bool = False):
+               ignore_case: bool = True, force: bool = False,
+               nproc: int = 1):
     """Runs the full build; returns the pan prefix path."""
     nh = 2 * len(gs)
     os.makedirs(workdir, exist_ok=True)
@@ -73,8 +74,8 @@ def build_rpgg(workdir: str, indir: str, gs: list[str], ref_tr_bed: str,
 
     _step(workdir, "support", support_counts, force)
     _step(workdir, "mbe", lambda: run_mbe(
-        workdir, indir, gs, ksize, FS, TRWINDOW, th1, th2, ignore_case),
-        force)
+        workdir, indir, gs, ksize, FS, TRWINDOW, th1, th2, ignore_case,
+        nproc=nproc), force)
 
     def collide():
         rows = [line.split("\t") for line in

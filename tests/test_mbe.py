@@ -8,7 +8,11 @@ from danbing_tk_tpu.apps.mbe import run_mbe
 GOLD = os.path.join(os.path.dirname(__file__), "golden_mbe")
 
 
-def test_mbe_byte_exact(tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("nproc", [1, 2])
+def test_mbe_byte_exact(tmp_path, nproc):
     for g in ("g0", "g1"):
         os.makedirs(tmp_path / g)
         for h in (0, 1):
@@ -17,7 +21,7 @@ def test_mbe_byte_exact(tmp_path):
     shutil.copy(os.path.join(GOLD, "pan.tr.mbe.v0.bed"),
                 tmp_path / "pan.tr.mbe.v0.bed")
     run_mbe(str(tmp_path), os.path.join(GOLD, "input"), ["g0", "g1"],
-            ksize=21, FS=50, TRWINDOW=500)
+            ksize=21, FS=50, TRWINDOW=500, nproc=nproc)
     for fn in ["pan.tr.mbe.v1.bed", "locusMap.v1.to.v0.txt",
                "g0/tmp2.0.mbe.bed", "g0/tmp2.1.mbe.bed",
                "g1/tmp2.0.mbe.bed", "g1/tmp2.1.mbe.bed"]:
