@@ -75,6 +75,10 @@ def main():
 
     # genome-wide prefilter rate (the cheap sampled-kmer pass that rejects
     # ~99% of non-TR pairs before the full pipeline)
+    # timing loops CHAIN each call on the previous call's output — over
+    # the remote tunnel, independent async dispatches have been observed
+    # to report impossibly fast times (block_until_ready returning before
+    # queued work drains), so only dependent chains are trusted
     pre = da.make_prefilter_step(drp, cfg, P, L)
     t0 = time.time()
     s = pre(codes, rlen, live)
@@ -82,7 +86,10 @@ def main():
     pre_compile = time.time() - t0
     t0 = time.time()
     for _ in range(nsteps * 4):
-        s = pre(codes, rlen, live)
+        # chain on the previous survivors (s is idempotent under pre, so
+        # the work is identical; any eager op here would add a tunnel
+        # round trip per iteration and poison the measurement)
+        s = pre(codes, rlen, s)
     jax.block_until_ready(s)
     pre_rate = nsteps * 4 * 2 * P / (time.time() - t0)
 
@@ -94,7 +101,7 @@ def main():
     t0 = time.time()
     for _ in range(nsteps):
         state, out = step(state, codes, rlen, live)
-    jax.block_until_ready(out["vote_pass"])
+    jax.block_until_ready((state["counts"], out["vote_pass"]))
     dt = time.time() - t0
     reads_per_sec = nsteps * 2 * P / dt
     # each read probes dbi + trfl at every k-mer position

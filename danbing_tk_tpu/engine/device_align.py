@@ -27,6 +27,7 @@ identical, so end-to-end outputs stay bit-exact.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -242,9 +243,13 @@ def make_prefilter_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
     """
     k = cfg.ksize
     nf, nmf = cfg.n_filter, cfg.nm_filter
-    dbi_lv = [(jnp.asarray(t), s) for t, s in drp.dbi_tab.levels]
+    # tables ride as jit arguments, not closure constants (see make_step)
+    const_dbi = [jnp.asarray(t) for t, _ in drp.dbi_tab.levels]
+    dbi_salts = [s for _, s in drp.dbi_tab.levels]
 
-    def step(codes, rlen, live):
+    def step(codes, rlen, live, dbi_tabs=None):
+        dbi_lv = list(zip(
+            dbi_tabs if dbi_tabs is not None else const_dbi, dbi_salts))
         B = codes.shape[0]
         NKW = L - k + 1
         ex = extract_kmers_edges(codes, rlen, k)
@@ -278,7 +283,13 @@ def make_prefilter_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
         survive = (read_pass & nonshort).reshape(P, 2).all(axis=1) & live
         return survive
 
-    return jax.jit(step) if jit else step
+    if not jit:
+        return step
+    jitted = jax.jit(step)
+    if os.environ.get("DTK_TABLE_ARGS"):
+        return lambda codes, rlen, live: jitted(codes, rlen, live,
+                                                const_dbi)
+    return lambda codes, rlen, live: jitted(codes, rlen, live)
 
 
 def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
@@ -298,25 +309,50 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
     E = expand_cap
     nloci = drp.nloci
 
-    dbi_lv = [(jnp.asarray(t), s) for t, s in drp.dbi_tab.levels]
-    vv = jnp.asarray(drp.vv)
-    trfl_lv = [(jnp.asarray(t), s) for t, s in drp.trfl_tab.levels]
-    tre_lv = None
+    # Tables can be passed to the jitted step as ARGUMENTS (a pytree of
+    # device arrays, DTK_TABLE_ARGS=1) rather than closure captures:
+    # captured arrays embed as HLO constants, and at production index
+    # sizes (hundreds of MB) that bloats the program / exceeds remote-
+    # compile payload limits.  Default is closure capture: over the
+    # remote-tunnel dev environment, arg-passed executions time
+    # unreliably (dispatches get elided), while constants measure
+    # consistently.  Semantics are identical either way.
+    const_tabs = {
+        "dbi": [jnp.asarray(t) for t, _ in drp.dbi_tab.levels],
+        "vv": jnp.asarray(drp.vv),
+        "trfl": [jnp.asarray(t) for t, _ in drp.trfl_tab.levels],
+    }
+    salts = {
+        "dbi": [s for _, s in drp.dbi_tab.levels],
+        "trfl": [s for _, s in drp.trfl_tab.levels],
+    }
     if with_bubbles and drp.tre_tab is not None:
-        tre_lv = [(jnp.asarray(t), s) for t, s in drp.tre_tab.levels]
-    bait_lv = None
+        const_tabs["tre"] = [jnp.asarray(t) for t, _ in drp.tre_tab.levels]
+        salts["tre"] = [s for _, s in drp.tre_tab.levels]
     if cfg.bait and drp.bait_tab is not None:
-        bait_lv = [(jnp.asarray(t), s) for t, s in drp.bait_tab.levels]
-    qc_arr = None
+        const_tabs["bait"] = [jnp.asarray(t)
+                              for t, _ in drp.bait_tab.levels]
+        salts["bait"] = [s for _, s in drp.bait_tab.levels]
     if cfg.qc and drp.qc is not None:
-        qc_arr = jnp.asarray(np.concatenate(
+        const_tabs["qc"] = jnp.asarray(np.concatenate(
             [drp.qc.astype(np.uint8), [0]]))
-    graph_lv = None
     if threading:
         assert drp.graph_tab is not None, "call drp.add_graph(rpgg) first"
-        graph_lv = [(jnp.asarray(t), s) for t, s in drp.graph_tab.levels]
+        const_tabs["graph"] = [jnp.asarray(t)
+                               for t, _ in drp.graph_tab.levels]
+        salts["graph"] = [s for _, s in drp.graph_tab.levels]
 
-    def step(state, codes, rlen, live):
+    def step(state, codes, rlen, live, tabs=None):
+        tb = tabs if tabs is not None else const_tabs
+        dbi_lv = list(zip(tb["dbi"], salts["dbi"]))
+        vv = tb["vv"]
+        trfl_lv = list(zip(tb["trfl"], salts["trfl"]))
+        tre_lv = list(zip(tb["tre"], salts["tre"])) if "tre" in tb else None
+        bait_lv = list(zip(tb["bait"], salts["bait"])) \
+            if "bait" in tb else None
+        qc_arr = tb.get("qc")
+        graph_lv = list(zip(tb["graph"], salts["graph"])) \
+            if "graph" in tb else None
         ex = extract_kmers_edges(codes, rlen, k)
         klo, khi, kvalid = ex["klo"], ex["khi"], ex["kvalid"]
         nk = ex["nk"]                      # (2P,)
@@ -406,7 +442,9 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
 
         # CSR expansion of loci lists into E slots per pair: scatter each
         # run-start POSITION at its expansion offset, then a running max
-        # assigns every slot its covering run position
+        # assigns every slot its covering run position.  (A scatter+scan
+        # forward-fill of the run values themselves was tried and measured
+        # 1.5x SLOWER than this gather-by-one-hot-matmul — the MXU wins.)
         csum = jnp.cumsum(nmapped, axis=-1)
         total = csum[:, -1]
         overflow = total > E
@@ -453,15 +491,24 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
         g_valid = g_loc != NAN32
         segnew = g_valid & jnp.concatenate(
             [jnp.ones((P, 1), bool), g_loc[:, 1:] != g_loc[:, :-1]], axis=1)
-        snxt = _next_true_idx_excl(segnew)
-        seg_end = jnp.where(segnew, jnp.minimum(
-            snxt, jnp.sum(g_valid, axis=-1, keepdims=True)), 0)
-        posE = jnp.arange(E, dtype=jnp.int32)[None, :]
+        # per-segment totals = prefix-sum difference between this segment
+        # start and the next.  The next-start prefix value is a reverse
+        # cumulative min over (segnew ? prefix : +inf) — prefix sums are
+        # non-decreasing, so the nearest later segment start is the min.
+        # O(P*E) scans instead of a one-hot gather over E+1.
         gcf = jnp.concatenate([jnp.zeros((P, 1), jnp.int32),
                                jnp.cumsum(g_f, axis=-1)], axis=-1)
         gcr = jnp.concatenate([jnp.zeros((P, 1), jnp.int32),
                                jnp.cumsum(g_r, axis=-1)], axis=-1)
-        gcf_end, gcr_end = _oh_gather([gcf, gcr], seg_end, E + 1)
+        BIG = jnp.int32(0x7FFFFFFF)
+        segnew_pad = jnp.concatenate(
+            [segnew, jnp.ones((P, 1), bool)], axis=1)  # sentinel at E
+        mcf = jnp.where(segnew_pad, gcf, BIG)
+        mcr = jnp.where(segnew_pad, gcr, BIG)
+        gcf_end = jax.lax.associative_scan(
+            jnp.minimum, mcf, axis=1, reverse=True)[:, 1:]
+        gcr_end = jax.lax.associative_scan(
+            jnp.minimum, mcr, axis=1, reverse=True)[:, 1:]
         seg_f = jnp.where(segnew, gcf_end - gcf[:, :-1], 0)
         seg_r = jnp.where(segnew, gcr_end - gcr[:, :-1], 0)
 
@@ -720,7 +767,14 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
             out["novel_edge"] = novel
         return new_state, out
 
-    return jax.jit(step, donate_argnums=(0,)) if jit else step
+    if not jit:
+        return step
+    jitted = jax.jit(step, donate_argnums=(0,))
+    if os.environ.get("DTK_TABLE_ARGS"):
+        return lambda state, codes, rlen, live: jitted(
+            state, codes, rlen, live, const_tabs)
+    return lambda state, codes, rlen, live: jitted(
+        state, codes, rlen, live)
 
 
 def init_state(drp: DeviceRPGG):

@@ -194,7 +194,8 @@ class BucketTable:
 
 
 def build_bucket_table(keys, vals, loci=None, lam: float = 5.0,
-                       max_levels: int = 8) -> BucketTable:
+                       max_levels: int = 8,
+                       fat_threshold: int = 0) -> BucketTable:
     keys = np.asarray(keys, dtype=np.uint64)
     vals = np.asarray(vals, dtype=np.uint32)
     composite = loci is not None
@@ -206,22 +207,46 @@ def build_bucket_table(keys, vals, loci=None, lam: float = 5.0,
     idx = np.arange(len(keys))
     levels = []
     salt = 0
+    nlevel = 0
     while len(idx):
-        assert salt < max_levels, "bucket table cascade diverged"
+        assert salt < max_levels + 16, "bucket table cascade diverged"
+        # every level costs one full-width gather per probe at lookup
+        # time, so the cascade depth IS the probe cost: level 0 packs
+        # dense (lam keys/bucket); later levels go sparse (<=1 key/bucket
+        # expected) and search up to 16 salts for a zero-overflow layout,
+        # making 2 levels the norm at any table size.
+        # (fat_threshold enables a single-level lam=0.5 layout for small
+        # tables; measured SLOWER on v5e — a 16x bigger table loses more
+        # to gather locality than the saved second-level gather — so it
+        # defaults off.)
+        fat = len(keys) <= fat_threshold
+        if fat:
+            level_lam, ntry = 0.5, 16
+        else:
+            level_lam = lam if nlevel == 0 else 1.0
+            ntry = 1 if nlevel == 0 else 16
         nb = 64
-        while nb * lam < len(idx):
+        while nb * level_lam < len(idx):
             nb *= 2
-        b = _salted_hash_np(lo[idx], hi[idx],
-                            None if loc is None else loc[idx],
-                            salt) & np.uint32(nb - 1)
-        order = np.argsort(b, kind="stable")
-        b_sorted = b[order]
-        # rank within bucket
-        first = np.ones(len(order), dtype=bool)
-        first[1:] = b_sorted[1:] != b_sorted[:-1]
-        grp = np.cumsum(first) - 1
-        pos = np.arange(len(order)) - np.flatnonzero(first)[grp]
-        fits = pos < BUCKET
+        best = None
+        for s in range(salt, salt + ntry):
+            b = _salted_hash_np(lo[idx], hi[idx],
+                                None if loc is None else loc[idx],
+                                s) & np.uint32(nb - 1)
+            order = np.argsort(b, kind="stable")
+            b_sorted = b[order]
+            # rank within bucket
+            first = np.ones(len(order), dtype=bool)
+            first[1:] = b_sorted[1:] != b_sorted[:-1]
+            grp = np.cumsum(first) - 1
+            pos = np.arange(len(order)) - np.flatnonzero(first)[grp]
+            fits = pos < BUCKET
+            nover = int((~fits).sum())
+            if best is None or nover < best[0]:
+                best = (nover, s, order, b_sorted, pos, fits)
+            if nover == 0:
+                break
+        _, s, order, b_sorted, pos, fits = best
         tab = np.full((nb, BUCKET, W), EMPTY, dtype=np.uint32)
         sel = idx[order[fits]]
         bb = b_sorted[fits]
@@ -233,9 +258,10 @@ def build_bucket_table(keys, vals, loci=None, lam: float = 5.0,
         tab[bb, pp, W - 1] = vals[sel]
         # store rows FLAT (nb, BUCKET*W): 3-D row gathers lower ~3x slower
         # than 2-D on TPU; lookups reshape after the gather
-        levels.append((tab.reshape(nb, BUCKET * W), salt))
+        levels.append((tab.reshape(nb, BUCKET * W), s))
         idx = idx[order[~fits]]
-        salt += 1
+        salt = s + 1
+        nlevel += 1
     return BucketTable(levels, composite)
 
 
