@@ -200,15 +200,36 @@ def _oh_gather(values, idx, W):
 
     take_along_axis lowers to a serialized gather on TPU (~35 ms for
     (4096,512)); the MXU does the same job in ~3 ms.  All channels share
-    one one-hot.  EXACTNESS: f32 accumulation is exact for integer values
-    < 2^24 -- callers must split wider values into 16-bit halves.
+    one one-hot.  EXACTNESS: every input channel MUST be < 2^16 -- callers
+    split wider values into 16-bit halves.
+
+    DTK_OH_BF16=1 rides each 16-bit channel as two 8-bit bf16 channels
+    (exact: ints < 2^8 in bf16, one product per output, f32 accumulation).
+    Measured SLOWER than f32 on v5e (116 vs 104 ms/step) -- the doubled
+    channel count and pack/unpack beat the bf16 rate gain, i.e. the
+    einsum itself is not the expansion stage's bottleneck -- so f32 is
+    the default.
     """
-    oh = jax.nn.one_hot(idx, W, dtype=jnp.float32)          # (P, E, W)
-    stacked = jnp.stack([v.astype(jnp.float32) for v in values],
-                        axis=-1)                            # (P, W, C)
+    C = len(values)
+    if not os.environ.get("DTK_OH_BF16"):
+        oh = jax.nn.one_hot(idx, W, dtype=jnp.float32)      # (P, E, W)
+        stacked = jnp.stack([v.astype(jnp.float32) for v in values],
+                            axis=-1)                        # (P, W, C)
+        out = jnp.einsum("pew,pwc->pec", oh, stacked,
+                         preferred_element_type=jnp.float32)
+        return [out[..., c].astype(jnp.int32) for c in range(C)]
+    oh = jax.nn.one_hot(idx, W, dtype=jnp.bfloat16)
+    halves = []
+    for v in values:
+        v = v.astype(jnp.int32)
+        halves.append(v & 0xFF)
+        halves.append(v >> 8)
+    stacked = jnp.stack([h.astype(jnp.bfloat16) for h in halves],
+                        axis=-1)                            # (P, W, 2C)
     out = jnp.einsum("pew,pwc->pec", oh, stacked,
-                     preferred_element_type=jnp.float32)
-    return [out[..., c].astype(jnp.int32) for c in range(len(values))]
+                     preferred_element_type=jnp.float32).astype(jnp.int32)
+    return [out[..., 2 * c] | (out[..., 2 * c + 1] << 8)
+            for c in range(C)]
 
 
 def _range_sum(x, start, end_excl):
@@ -461,14 +482,16 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
             indices_are_sorted=True)
         erun = jnp.clip(_cummax(erun0), 0, W - 1)
         evalid_exp = eidx < jnp.minimum(total, E)[:, None]
-        # gather run stats at covering-run positions: one one-hot matmul,
-        # five channels; rval (u32) rides as two exact 16-bit halves
-        e_rv_lo, e_rv_hi, e_starts, e_f0, e_r0 = _oh_gather(
+        # gather run stats at covering-run positions: one one-hot matmul;
+        # rval (u32) and starts ride as exact 16-bit halves
+        e_rv_lo, e_rv_hi, e_st_lo, e_st_hi, e_f0, e_r0 = _oh_gather(
             [(rval & 0xFFFF).astype(jnp.int32),
-             (rval >> 16).astype(jnp.int32), starts, fcnt, rcnt],
+             (rval >> 16).astype(jnp.int32),
+             starts & 0xFFFF, starts >> 16, fcnt, rcnt],
             erun, W)
         e_rval = (e_rv_hi.astype(jnp.uint32) << 16) | \
             e_rv_lo.astype(jnp.uint32)
+        e_starts = (e_st_hi << 16) | e_st_lo
         e_off = eidx - e_starts
         e_odd = (e_rval & 1) == 1
         vv_pos = jnp.clip((e_rval >> 1).astype(jnp.int32) + 1 + e_off, 0,
