@@ -59,6 +59,16 @@ def _cmd_build(args):
     print(pan)
 
 
+def _cmd_build_ref(args):
+    from ..pipeline.ref_graph import build_ref_rpgg
+
+    pref = build_ref_rpgg(args.workdir, args.ref_fa, args.refTR, g=args.g,
+                          ksize=args.k, FS=args.fs,
+                          TRWINDOW=args.trwindow,
+                          dist_merge=args.dist_merge, nproc=args.p)
+    print(pref)
+
+
 def _cmd_serialize(args):
     from ..index.dbi import serialize
 
@@ -207,6 +217,19 @@ def main(argv=None):
     b.add_argument("-p", type=int, default=1,
                    help="MBE worker processes (X3 parity)")
     b.set_defaults(fn=_cmd_build)
+
+    br = sub.add_parser("build-ref",
+                        help="build a reference-genome RPGG (RefGraph)")
+    br.add_argument("workdir")
+    br.add_argument("ref_fa")
+    br.add_argument("refTR")
+    br.add_argument("-g", default="hg38")
+    br.add_argument("-k", type=int, default=21)
+    br.add_argument("-fs", type=int, default=700)
+    br.add_argument("--trwindow", type=int, default=100000)
+    br.add_argument("--dist-merge", type=int, default=700)
+    br.add_argument("-p", type=int, default=1)
+    br.set_defaults(fn=_cmd_build_ref)
 
     s = sub.add_parser("serialize", help="ktools serialize equivalent")
     s.add_argument("pref")
