@@ -252,6 +252,42 @@ def _take_rows(a, idx):
     return jnp.take_along_axis(a, idxc[..., None], axis=-1)[..., 0]
 
 
+def prefilter_sample(codes, rlen, k, nf, L):
+    """Subfilter query sampling (reference subfilter :172-188): the nf
+    evenly-spaced canonical k-mers per read, gathered via one one-hot MXU
+    matmul.  -> (qlo, qhi, valid, nk), EMPTY-masked where invalid."""
+    NKW = L - k + 1
+    ex = extract_kmers_edges(codes, rlen, k)
+    nk = ex["nk"]
+    S = nk // (nf - 1)
+    # sampled window start positions per read: i*S (i<nf-1), nk-1
+    starts = jnp.stack(
+        [jnp.where(jnp.int32(i) != nf - 1, i * S, nk - 1)
+         for i in range(nf)], axis=1)                       # (B, nf)
+    starts = jnp.clip(starts, 0, NKW - 1)
+    lo16, lo_hi16, hi16, hi_hi16, vmask = _oh_gather(
+        [(ex["klo"] & 0xFFFF).astype(jnp.int32),
+         (ex["klo"] >> 16).astype(jnp.int32),
+         (ex["khi"] & 0xFFFF).astype(jnp.int32),
+         (ex["khi"] >> 16).astype(jnp.int32),
+         ex["kvalid"].astype(jnp.int32)],
+        starts, NKW)
+    qlo = (lo_hi16.astype(jnp.uint32) << 16) | lo16.astype(jnp.uint32)
+    qhi = (hi_hi16.astype(jnp.uint32) << 16) | hi16.astype(jnp.uint32)
+    valid = (vmask == 1) & (starts < nk[:, None])
+    qlo = jnp.where(valid, qlo, EMPTY)
+    qhi = jnp.where(valid, qhi, EMPTY)
+    return qlo, qhi, valid, nk
+
+
+def prefilter_decide(found, valid, nk, live, nmf, P):
+    found = found & valid
+    hits = found.sum(axis=1)
+    read_pass = hits >= nmf
+    nonshort = nk > 0
+    return (read_pass & nonshort).reshape(P, 2).all(axis=1) & live
+
+
 def make_prefilter_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
                         jit: bool = True):
     """Cheap first-pass subfilter (reference subfilter :172-188): probe only
@@ -271,38 +307,10 @@ def make_prefilter_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
     def step(codes, rlen, live, dbi_tabs=None):
         dbi_lv = list(zip(
             dbi_tabs if dbi_tabs is not None else const_dbi, dbi_salts))
-        B = codes.shape[0]
-        NKW = L - k + 1
-        ex = extract_kmers_edges(codes, rlen, k)
-        nk = ex["nk"]
-        S = nk // (nf - 1)
-        # sampled window start positions per read: i*S (i<nf-1), nk-1
-        starts = jnp.stack(
-            [jnp.where(jnp.int32(i) != nf - 1, i * S, nk - 1)
-             for i in range(nf)], axis=1)                       # (B, nf)
-        starts = jnp.clip(starts, 0, NKW - 1)
-        # gather the canonical k-mers at the sampled positions via a
-        # one-hot MXU matmul (u32 split into exact 16-bit halves)
-        lo16, lo_hi16, hi16, hi_hi16, vmask = _oh_gather(
-            [(ex["klo"] & 0xFFFF).astype(jnp.int32),
-             (ex["klo"] >> 16).astype(jnp.int32),
-             (ex["khi"] & 0xFFFF).astype(jnp.int32),
-             (ex["khi"] >> 16).astype(jnp.int32),
-             ex["kvalid"].astype(jnp.int32)],
-            starts, NKW)
-        qlo = (lo_hi16.astype(jnp.uint32) << 16) | lo16.astype(jnp.uint32)
-        qhi = (hi_hi16.astype(jnp.uint32) << 16) | hi16.astype(jnp.uint32)
-        valid = (vmask == 1) & (starts < nk[:, None])
-        qlo = jnp.where(valid, qlo, EMPTY)
-        qhi = jnp.where(valid, qhi, EMPTY)
+        qlo, qhi, valid, nk = prefilter_sample(codes, rlen, k, nf, L)
         found, _ = dt.lookup_bucket_jax(drp.dbi_tab, qlo, qhi,
                                         levels_dev=dbi_lv)
-        found = found & valid
-        hits = found.sum(axis=1)
-        read_pass = hits >= nmf
-        nonshort = nk > 0
-        survive = (read_pass & nonshort).reshape(P, 2).all(axis=1) & live
-        return survive
+        return prefilter_decide(found, valid, nk, live, nmf, P)
 
     if not jit:
         return step

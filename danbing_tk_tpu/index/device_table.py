@@ -288,6 +288,26 @@ def lookup_bucket_np(tab: BucketTable, keys, loci=None):
     return found, val
 
 
+def bucket_index_jax(q_lo, q_hi, q_loc, salt, nb):
+    """Bucket index for one level (device-side twin of _salted_hash_np)."""
+    import jax.numpy as jnp
+
+    def mix32(x):
+        x = x.astype(jnp.uint32)
+        x = x ^ (x >> 16)
+        x = x * np.uint32(0x7FEB352D)
+        x = x ^ (x >> 15)
+        x = x * np.uint32(0x846CA68B)
+        x = x ^ (x >> 16)
+        return x
+
+    s = np.uint32((0x9E3779B9 * (salt + 1)) & 0xFFFFFFFF)
+    h = mix32(q_hi ^ s)
+    if q_loc is not None:
+        h = mix32(h ^ q_loc.astype(jnp.uint32))
+    return (mix32(q_lo ^ h) & np.uint32(nb - 1)).astype(jnp.int32)
+
+
 def lookup_bucket_jax(tab: BucketTable, q_lo, q_hi, q_loc=None,
                       levels_dev=None):
     """Device probe: one gather per level (2-3 total), no loops.
@@ -302,24 +322,11 @@ def lookup_bucket_jax(tab: BucketTable, q_lo, q_hi, q_loc=None,
     levels = levels_dev if levels_dev is not None else [
         (jnp.asarray(t), s) for t, s in tab.levels]
 
-    def mix32(x):
-        x = x.astype(jnp.uint32)
-        x = x ^ (x >> 16)
-        x = x * np.uint32(0x7FEB352D)
-        x = x ^ (x >> 15)
-        x = x * np.uint32(0x846CA68B)
-        x = x ^ (x >> 16)
-        return x
-
     found = jnp.zeros(q_lo.shape, dtype=jnp.bool_)
     val = jnp.zeros(q_lo.shape, dtype=jnp.uint32)
     for t, salt in levels:
         nb = t.shape[0]
-        s = np.uint32((0x9E3779B9 * (salt + 1)) & 0xFFFFFFFF)
-        h = mix32(q_hi ^ s)
-        if q_loc is not None:
-            h = mix32(h ^ q_loc.astype(jnp.uint32))
-        b = (mix32(q_lo ^ h) & np.uint32(nb - 1)).astype(jnp.int32)
+        b = bucket_index_jax(q_lo, q_hi, q_loc, salt, nb)
         rows = t[b].reshape(b.shape + (BUCKET, W))
         m = (rows[..., 0] == q_lo[..., None]) & \
             (rows[..., 1] == q_hi[..., None])

@@ -64,3 +64,24 @@ def test_sharded_matches_single(setup):
     for k in ("referee", "vote_pass", "dst0", "counted"):
         np.testing.assert_array_equal(np.asarray(out1[k]),
                                       np.asarray(outN[k]), err_msg=k)
+
+
+def test_sharded_index_prefilter_matches(setup):
+    """Index-sharded collective prefilter == replicated prefilter."""
+    import jax
+
+    from danbing_tk_tpu.parallel.sharded_index import make_sharded_prefilter
+
+    rpgg, cfg, drp, batch = setup
+    P, L = 64, 160
+    codes, rlen, live = _pack(batch[:P], P, L)
+
+    ref_step = da.make_prefilter_step(drp, cfg, P, L)
+    ref = np.asarray(ref_step(codes, rlen, live))
+
+    mesh = pm.make_mesh()
+    assert mesh.devices.size == 8
+    step, P_local = make_sharded_prefilter(drp, cfg, mesh, P, L)
+    got = np.asarray(step(codes, rlen, live))
+    assert np.array_equal(ref, got)
+    assert ref.any(), "degenerate batch: nothing survives"
