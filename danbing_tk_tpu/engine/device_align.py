@@ -324,8 +324,13 @@ def make_prefilter_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
 def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
               expand_cap: int = 512, with_annot: bool = True,
               with_bubbles: bool = False, jit: bool = True,
-              threading: bool = False):
+              threading: bool = False, probe_fns: dict | None = None):
     """Builds the (by default jitted) per-batch function.
+
+    probe_fns: optional {"dbi": fn(q_lo, q_hi), "trfl": fn(q_lo, q_hi,
+    q_loc)} overriding the replicated-table probes — the hook
+    parallel.sharded_index uses to answer probes collectively from
+    mesh-sharded tables.
 
     Returns step(state, codes(2P,L) u8, rlen(2P,) i32, live(P,) bool)
       -> (state, outputs dict)
@@ -387,8 +392,11 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
         nk = ex["nk"]                      # (2P,)
         any_valid = ex["any_valid"]
 
-        found, val = dt.lookup_bucket_jax(
-            drp.dbi_tab, klo, khi, levels_dev=dbi_lv)
+        if probe_fns and "dbi" in probe_fns:
+            found, val = probe_fns["dbi"](klo, khi)
+        else:
+            found, val = dt.lookup_bucket_jax(
+                drp.dbi_tab, klo, khi, levels_dev=dbi_lv)
         found = found & kvalid
 
         pair_nonshort = (any_valid.reshape(P, 2).all(axis=1)) & live
@@ -616,8 +624,11 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
         # ---- TR/flank annotation vs dst0 ----
         dst0_read = dst0[:, None].repeat(2, 1).reshape(-1)  # (2P,)
         q_loc = dst0_read[:, None].repeat(NKW, 1)
-        afound, aval = dt.lookup_bucket_jax(
-            drp.trfl_tab, klo, khi, q_loc=q_loc, levels_dev=trfl_lv)
+        if probe_fns and "trfl" in probe_fns:
+            afound, aval = probe_fns["trfl"](klo, khi, q_loc)
+        else:
+            afound, aval = dt.lookup_bucket_jax(
+                drp.trfl_tab, klo, khi, q_loc=q_loc, levels_dev=trfl_lv)
         afound = afound & kvalid
         afound = afound & dev_pair.repeat(2)[:, None]
         ann = jnp.where(afound, (aval & 3).astype(jnp.int32), 0)

@@ -66,6 +66,30 @@ def test_sharded_matches_single(setup):
                                       np.asarray(outN[k]), err_msg=k)
 
 
+def test_sharded_index_full_step_matches(setup):
+    """Full align step with dbi+trfl sharded over the mesh == replicated."""
+    rpgg, cfg, drp, pairs = setup
+    P, L = 256, 192
+    codes, rlen, live = _pack(pairs[:P], P, L)
+
+    step1 = da.make_step(drp, cfg, P, L, with_annot=False)
+    s1 = da.init_state(drp)
+    s1, out1 = step1(s1, codes, rlen, live)
+
+    mesh = pm.make_mesh()
+    stepN, _ = pm.make_sharded_step(drp, cfg, mesh, P, L,
+                                    with_annot=False, shard_index=True)
+    sN = pm.init_sharded_state(drp, mesh)
+    sN, outN = stepN(sN, codes, rlen, live)
+    merged = pm.finalize_counts(sN)
+
+    np.testing.assert_array_equal(np.asarray(s1["counts"]),
+                                  merged["counts"])
+    for k in ("referee", "vote_pass", "dst0", "counted"):
+        np.testing.assert_array_equal(np.asarray(out1[k]),
+                                      np.asarray(outN[k]), err_msg=k)
+
+
 def test_sharded_index_prefilter_matches(setup):
     """Index-sharded collective prefilter == replicated prefilter."""
     import jax
