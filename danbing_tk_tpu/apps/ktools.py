@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..io import binary as bio
-from ..io.text import count_loci, read_fps_kmers_v2, read_qc_file
+from ..io.text import read_qc_file
 from ..ops.kmers_np import revcomp_kmers
 from ..utils.stdumap import StdUmapOrder
 

@@ -20,8 +20,7 @@ from ..io import binary as bio
 from ..ops import kmers_np as K
 from ..utils.stdumap import StdUmapOrder
 from . import device_align as da
-from .host_align import (AlignConfig, HostAligner, RPGG, annot2str,
-                         iter_fasta_pairs, _kam_row, ReadAsgn)
+from .host_align import (AlignConfig, HostAligner, RPGG, iter_fasta_pairs, _kam_row, ReadAsgn)
 
 
 _DECODE = np.full(256, ord("N"), dtype=np.uint8)

@@ -26,7 +26,6 @@ identical, so end-to-end outputs stay bit-exact.
 
 from __future__ import annotations
 
-import functools
 import os
 from dataclasses import dataclass
 

@@ -23,9 +23,7 @@ from __future__ import annotations
 
 import os
 
-import numpy as np
-
-from ..apps.fa2kmers import fa2kmers, make_tre_kmers
+from ..apps.fa2kmers import fa2kmers
 from ..apps.genpankmers import gen_pan_kmers, read_ortho_map
 from ..apps.mbe import run_mbe
 from ..apps.merge_mbe import write_bed_merge_mbe
