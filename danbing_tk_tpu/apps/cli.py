@@ -24,6 +24,7 @@ def _cmd_align(args):
         thread_cth=(args.gc or args.g or [100])[0],
         maxncorrection=(args.gc[1] if args.gc and len(args.gc) > 1 else 4),
         correction=bool(args.gc),
+        extract=args.e,
     )
     rpgg = RPGG(args.qs, bait=args.b, qc_file=args.qc)
     if args.device:
@@ -33,6 +34,9 @@ def _cmd_align(args):
     else:
         al = HostAligner(rpgg, cfg)
     al.run_file(args.fa or args.fq)
+    if cfg.extract:
+        al.write_extract(sys.stdout)
+        return
     pref = args.o or args.on
     if args.on:
         al.write_tr_kmers(pref + ".tr.kmers")
@@ -197,6 +201,8 @@ def main(argv=None):
     a.add_argument("-bu", action="store_true")
     a.add_argument("-ka", action="store_true")
     a.add_argument("-s", type=int, default=0)
+    a.add_argument("-e", type=int, default=0,
+                   help="extract assigned read pairs (1: title, 2: title:locus)")
     a.add_argument("-g", type=int, nargs="*")
     a.add_argument("-gc", type=int, nargs="*")
     a.add_argument("-a", action="store_true")

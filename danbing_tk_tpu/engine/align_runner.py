@@ -53,6 +53,7 @@ class DeviceAlignRunner:
         # host oracle handles referee'd pairs (counts go into rpgg dicts)
         self.host = HostAligner(rpgg, cfg)
         self.kam_rows: list[str] = []
+        self.extract_rows: list[str] = []
         self.aln_rows: list[str] = []
         self.n_referee = 0
         self.n_host_thread = 0
@@ -225,6 +226,9 @@ class DeviceAlignRunner:
         self._post_chunk(pairs, out, n)
 
     def _post_chunk(self, pairs, out, n):
+        if self.cfg.extract and not self.cfg.threading:
+            self._post_chunk_extract(pairs, out)
+            return
         if self.cfg.threading:
             self._post_chunk_threading(pairs, out)
             return
@@ -264,18 +268,42 @@ class DeviceAlignRunner:
                     self._kam_from_device(title, src, dest, dst0, out, i,
                                           s1, s2))
 
+    def _post_chunk_extract(self, pairs, out):
+        """-e mode: emit vote-assigned pairs, no counting (QC/bait do
+        not apply; the reference loads only the dbi here)."""
+        host = self.host
+        for i, (title, s1, s2, src) in enumerate(pairs):
+            if out["referee"][i]:
+                self.n_referee += 1
+                n0 = len(host.extract_rows)
+                host.process_pair(title, s1, s2, src)
+                if len(host.extract_rows) > n0:
+                    self.extract_rows.append(host.extract_rows.pop())
+                continue
+            if (not out["nonshort"][i] or out["sub_drop"][i]
+                    or not out["pair_alive"][i]
+                    or not out["vote_pass"][i]):
+                continue
+            host._record_extract(title, s1, s2, int(out["dst0"][i]))
+            self.extract_rows.append(host.extract_rows.pop())
+
+    def write_extract(self, fh):
+        fh.writelines(self.extract_rows)
+
     def _post_chunk_threading(self, pairs, out):
         """Threading mode: device handles clean-walk pairs; everything
         else goes through the host threading engine (exact)."""
         cfg = self.cfg
         nloci = self.rpgg.nloci
+        rows = self.host.extract_rows if cfg.extract else self.host.aln_rows
+        dest_rows = self.extract_rows if cfg.extract else self.aln_rows
         for i, (title, s1, s2, src) in enumerate(pairs):
             if out["referee"][i]:
                 self.n_referee += 1
-                n0 = len(self.host.aln_rows)
+                n0 = len(rows)
                 self.host.process_pair(title, s1, s2, src)
-                if len(self.host.aln_rows) > n0:
-                    self.aln_rows.append(self.host.aln_rows.pop())
+                if len(rows) > n0:
+                    dest_rows.append(rows.pop())
                 continue
             if (not out["nonshort"][i] or out["sub_drop"][i]
                     or not out["pair_alive"][i] or out["qc_drop"][i]
@@ -284,11 +312,16 @@ class DeviceAlignRunner:
             dst0 = int(out["dst0"][i])
             if not out["clean_pair"][i]:
                 self.n_host_thread += 1
-                n0 = len(self.host.aln_rows)
+                n0 = len(rows)
                 self.host.stats["nThreadingReads"] += 2
                 self.host._thread_pair(title, s1, s2, src, dst0)
-                if len(self.host.aln_rows) > n0:
-                    self.aln_rows.append(self.host.aln_rows.pop())
+                if len(rows) > n0:
+                    dest_rows.append(rows.pop())
+                continue
+            if cfg.extract:
+                # clean walk => both mates feasible
+                self.host._record_extract(title, s1, s2, dst0)
+                self.extract_rows.append(self.host.extract_rows.pop())
                 continue
             # device-handled clean pair: aln row is all-matches
             if cfg.aln:

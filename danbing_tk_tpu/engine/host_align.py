@@ -93,6 +93,11 @@ class AlignConfig:
     tc: bool = False         # -gcc sanity check
     aln: bool = False        # -a
     aln_minimal: bool = False  # -ae
+    # -e 1|2: emit vote-assigned read pairs (1: title; 2: title:locus) and
+    # skip all counting/output (reference loads only the dbi in this mode,
+    # aQueryFasta_thread.cpp:2484-2488, branch :2094-2100, writer
+    # :1618-1645); QC/bait do not apply
+    extract: int = 0
 
 
 class RPGG:
@@ -654,6 +659,7 @@ class HostAligner:
         self._bub_batch: dict[int, tuple[StdUmapOrder, dict]] = {}
         self.kam_rows: list[str] = []
         self.aln_rows: list[str] = []
+        self.extract_rows: list[str] = []
         self.stats = dict(
             nReads=0, nShort=0, nSubFiltered=0, nKmerFiltered=0,
             nBaitFiltered=0, nQualFiltered=0, nLocusAssignFiltered=0,
@@ -733,6 +739,10 @@ class HostAligner:
             return
         st["nFeasibleReads"] += 2
 
+        if cfg.extract:
+            self._record_extract(title, seq1, seq2, dest, quals)
+            return
+
         if cfg.bait:
             bdb = g.bait_dbs[dest]
             if cfg.is_fastq:
@@ -790,6 +800,21 @@ class HostAligner:
                          cfg.is_fastq, quals[0] or ".", quals[1] or ".")
             )
 
+    def _record_extract(self, title, seq1, seq2, dest, quals=(None, None)):
+        """writeExtractedReads: mate 2 first (the reference walks its
+        read array backwards), title verbatim (+':locus' for -e 2),
+        fastq form keeps '@' + quality lines."""
+        cfg = self.cfg
+        t = title if not cfg.is_fastq else "@" + title[1:]
+        if cfg.extract != 1:
+            t = f"{t}:{dest}"
+        if cfg.is_fastq:
+            self.extract_rows.append(
+                f"{t}\n{seq2}\n+\n{quals[1]}\n"
+                f"{t}\n{seq1}\n+\n{quals[0]}\n")
+        else:
+            self.extract_rows.append(f"{t}\n{seq2}\n{t}\n{seq1}\n")
+
     def _thread_pair(self, title, seq1, seq2, src, dest):
         """Threading-mode branch (re-enabled v1.3.1 behavior; counting =
         aln mode over the corrected kmer streams of aligned mates)."""
@@ -823,6 +848,10 @@ class HostAligner:
                     thr.thread_check(gf, seq2, ak1, cg2, k)
             es1, tr1 = cg1.es, cg1.tr
             es2, tr2 = cg2.es, cg2.tr
+        if cfg.extract:
+            if alned0 or alned1:
+                self._record_extract(title, seq1, seq2, dest)
+            return
         if alned0 or alned1:
             cak: dict[int, int] = {}
             if alned0:
@@ -858,6 +887,9 @@ class HostAligner:
                 )
 
     # ---- outputs ----
+
+    def write_extract(self, fh):
+        fh.writelines(self.extract_rows)
 
     def write_aln(self, path: str):
         with open(path, "w") as f:

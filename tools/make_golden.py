@@ -247,6 +247,14 @@ def main():
     align(["-s", "2", "-o"], os.path.join(OUT, "out.sim"), "out.sim.kam",
           reads="reads.sim.fa")
 
+    # --- -e extract-mode goldens (reads written to stdout, no counting)
+    for e in (1, 2):
+        with open(os.path.join(OUT, f"out.e{e}.fa"), "w") as fo:
+            run([f"{REFBIN}/danbing-tk", "-k", str(KSIZE), "-qs", pan,
+                 "-fa", os.path.join(OUT, "reads.fa"), "-p", "1", "-cth",
+                 "20", "-kf", "4", "1", "-e", str(e), "-o", "/tmp/ex"],
+                stdout=fo, env=env)
+
     # sanity: the two kam outputs (plain vs -on run) must be identical
     a = open(os.path.join(OUT, "out.kam"), "rb").read()
     b = open(os.path.join(OUT, "out.kam2"), "rb").read()
@@ -328,6 +336,11 @@ def main():
                 for p in rngq.integers(0, len(seq), nlow):
                     q[p] = ord("#")  # Q2
                 fout.write(f"@{title}\n{seq}\n+\n{q.tobytes().decode()}\n")
+    with open(os.path.join(OUT, "out.fq.e1.fq"), "w") as fo:
+        run([f"{REFBIN}/danbing-tk", "-k", str(KSIZE), "-qs", pan, "-fq",
+             os.path.join(OUT, "reads.sim.fq"), "-p", "1", "-cth", "20",
+             "-kf", "4", "1", "-e", "1", "-s", "2", "-o", "/tmp/ex"],
+            stdout=fo)
     with open(os.path.join(OUT, "out.fq.kam"), "w") as kam:
         run([f"{REFBIN}/danbing-tk", "-k", str(KSIZE), "-qs", pan, "-fq",
              os.path.join(OUT, "reads.sim.fq"), "-p", "1", "-cth", "20",
