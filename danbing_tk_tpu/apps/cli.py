@@ -25,8 +25,11 @@ def _cmd_align(args):
         maxncorrection=(args.gc[1] if args.gc and len(args.gc) > 1 else 4),
         correction=bool(args.gc),
         extract=args.e,
+        track_bait=args.tb,
+        qth=args.qth,
+        reads_per_batch=int(300000 * args.r),
     )
-    rpgg = RPGG(args.qs, bait=args.b, qc_file=args.qc)
+    rpgg = RPGG(args.qs, bait=args.b, qc_file=args.qc, trim=args.t)
     if args.device:
         from ..engine.align_runner import DeviceAlignRunner
 
@@ -46,6 +49,8 @@ def _cmd_align(args):
             al.write_summary(pref + ".tr.summary.txt")
     if cfg.okam and not cfg.threading:
         al.write_kam(pref + ".kam")
+    if cfg.track_bait:
+        al.write_btk(pref + ".btk.kmdb")
     if cfg.aln:
         al.write_aln(pref + ".aln")
     if cfg.output_bubbles:
@@ -203,6 +208,16 @@ def main(argv=None):
     a.add_argument("-s", type=int, default=0)
     a.add_argument("-e", type=int, default=0,
                    help="extract assigned read pairs (1: title, 2: title:locus)")
+    a.add_argument("-t", type=int, default=0,
+                   help="use $PREF.tr.trim<T>.kmers as the TR kmer DB")
+    a.add_argument("-tb", action="store_true",
+                   help="track first-violator bait kmers -> .btk.kmdb")
+    a.add_argument("-qth", type=int, default=20)
+    a.add_argument("-r", type=float, default=1.0,
+                   help="reads-per-batch factor")
+    a.add_argument("-p", type=int, default=1,
+                   help="accepted for reference CLI parity; parallelism is "
+                        "the device batch / mesh, not host threads")
     a.add_argument("-g", type=int, nargs="*")
     a.add_argument("-gc", type=int, nargs="*")
     a.add_argument("-a", action="store_true")

@@ -90,6 +90,7 @@ class AlignConfig:
     thread_cth: int = 100
     correction: bool = True
     maxncorrection: int = 4
+    track_bait: bool = False  # -tb: record first-violator bait kmers
     tc: bool = False         # -gcc sanity check
     aln: bool = False        # -a
     aln_minimal: bool = False  # -ae
@@ -104,17 +105,21 @@ class RPGG:
     """Host-resident RPGG index bundle (pref.kmers.dbi/.fl.kdb/.tre.kdb/
     .tr.kmers [+ .bt.kmdb bait, + qc])."""
 
-    def __init__(self, pref: str, bait: bool = False, qc_file: str | None = None):
+    def __init__(self, pref: str, bait: bool = False,
+                 qc_file: str | None = None, trim: int = 0):
         self.pref = pref
         keys, vals, vv = bio.read_index_dbi(pref + ".kmers.dbi")
         self.dbi = dict(zip(keys.tolist(), vals.tolist()))
         self.vv = vv
-        self.nloci = tio.count_loci(pref + ".tr.kmers")
+        # -t selects an alternate trKmerDB (aQueryFasta_thread.cpp:2389)
+        trf = (pref + f".tr.trim{trim}.kmers") if trim \
+            else (pref + ".tr.kmers")
+        self.nloci = tio.count_loci(trf)
         # trKmerDB: per-locus {kmer: 0} with recorded insertion order
         self.tr_orders = [StdUmapOrder() for _ in range(self.nloci)]
         self.tr_counts: list[dict] = [dict() for _ in range(self.nloci)]
         idx = -1
-        with open(pref + ".tr.kmers", "rb") as f:
+        with open(trf, "rb") as f:
             for line in f:
                 if line.startswith(b">"):
                     idx += 1
@@ -336,26 +341,32 @@ def count_hit(vv, its1, its2, nloci, cth, r1: ReadAsgn, r2: ReadAsgn):
     return nloci, tri0
 
 
-def bfilter_fps(baitdb: dict, kmers, qmask=None) -> bool:
+def bfilter_fps(baitdb: dict, kmers, qmask=None, track=False):
     """bfilter_FPSv1: per-read kmer count profile vs FP [min,max] windows.
 
-    Iterates the count map in libstdc++ order (first violating kmer wins for
-    the tracker; for the boolean outcome order is irrelevant)."""
+    The boolean outcome is iteration-order independent; with ``track``
+    (the -tb bait tracker) the FIRST violator in the reference's kc8_t
+    hash order is returned as (True, kmer), so the count map iterates in
+    replayed libstdc++ order (aQueryFasta_thread.cpp:1377-1397)."""
     if not len(kmers):
-        return False
+        return (False, None) if track else False
     kc: dict[int, int] = {}
+    order = StdUmapOrder() if track else None
     for i, km in enumerate(kmers):
         if qmask is not None and not qmask[i]:
             continue
         km = int(km)
+        if track and km not in kc:
+            order.insert(km)
         kc[km] = kc.get(km, 0) + 1
-    for km, c in kc.items():
+    for km in (order if track else kc):
         th = baitdb.get(km)
         if th is not None:
+            c = kc[km]
             mi, ma = th >> 8, th & 0xFF
             if c < mi or c > ma:
-                return True
-    return False
+                return (True, km) if track else True
+    return (False, None) if track else False
 
 
 def assign_trkmc(kmers, tr_counts: dict, fl_set: set, r: ReadAsgn,
@@ -657,6 +668,10 @@ class HostAligner:
         self.bub_counts: list[dict] = [dict() for _ in range(rpgg.nloci)]
         # batch-local bubbles: locus -> (StdUmapOrder, counts)
         self._bub_batch: dict[int, tuple[StdUmapOrder, dict]] = {}
+        # -tb bait-hit tracker (btTK), same per-locus order machinery
+        self.bt_orders = [StdUmapOrder() for _ in range(rpgg.nloci)]
+        self.bt_counts: list[dict] = [dict() for _ in range(rpgg.nloci)]
+        self._bt_batch: dict[int, tuple[StdUmapOrder, dict]] = {}
         self.kam_rows: list[str] = []
         self.aln_rows: list[str] = []
         self.extract_rows: list[str] = []
@@ -701,6 +716,14 @@ class HostAligner:
                 go.insert(km)
                 gc[km] = gc.get(km, 0) + counts[km]
         self._bub_batch = {}
+        # accumBaitKmerHits (:1608-1616); outer tri order is irrelevant
+        # (per-locus DBs), inner kmer order is the batch-local hash order
+        for locus, (order, counts) in self._bt_batch.items():
+            go, gc = self.bt_orders[locus], self.bt_counts[locus]
+            for km in order:
+                go.insert(km)
+                gc[km] = gc.get(km, 0) + counts[km]
+        self._bt_batch = {}
 
     def process_pair(self, title: str, seq1: str, seq2: str, src: int = -1,
                      quals=(None, None)):
@@ -745,14 +768,26 @@ class HostAligner:
 
         if cfg.bait:
             bdb = g.bait_dbs[dest]
+            tb = cfg.track_bait
             if cfg.is_fastq:
                 qkm1 = qstring_to_qmask(quals[0], cfg.qth, cfg.ksize)
                 qkm2 = qstring_to_qmask(quals[1], cfg.qth, cfg.ksize)
-                bf1 = bfilter_fps(bdb, caks1, qkm1)
-                bf2 = bfilter_fps(bdb, caks2, qkm2)
+                bf1 = bfilter_fps(bdb, caks1, qkm1, track=tb)
+                bf2 = bfilter_fps(bdb, caks2, qkm2, track=tb)
             else:
-                bf1 = bfilter_fps(bdb, caks1)
-                bf2 = bfilter_fps(bdb, caks2)
+                bf1 = bfilter_fps(bdb, caks1, track=tb)
+                bf2 = bfilter_fps(bdb, caks2, track=tb)
+            if tb:
+                for bf, vkm in (bf1, bf2):
+                    if bf:
+                        ent = self._bt_batch.get(dest)
+                        if ent is None:
+                            ent = (StdUmapOrder(), {})
+                            self._bt_batch[dest] = ent
+                        if vkm not in ent[1]:
+                            ent[0].insert(vkm)
+                        ent[1][vkm] = ent[1].get(vkm, 0) + 1
+                bf1, bf2 = bf1[0], bf2[0]
             r1.bf, r2.bf = int(bf1), int(bf2)
             if bf1 or bf2:
                 st["nBaitFiltered"] += (r1.bf & (not r1.rm)) + (
@@ -887,6 +922,19 @@ class HostAligner:
                 )
 
     # ---- outputs ----
+
+    def write_btk(self, path: str):
+        """dumpBaitKmerHits -> dumpKmerMapDB('btk', ...) u64 values."""
+        index, ks, vs = [], [], []
+        for i in range(self.g.nloci):
+            cnt = self.bt_counts[i]
+            for km in self.bt_orders[i]:
+                ks.append(km)
+                vs.append(cnt[km])
+            index.append(len(cnt))
+        bio.write_kmap_db(path, np.array(index, np.uint64),
+                          np.array(ks, np.uint64),
+                          np.array(vs, np.uint64))
 
     def write_extract(self, fh):
         fh.writelines(self.extract_rows)

@@ -65,3 +65,30 @@ def test_device_extract_threading(golden_dir):
     dev = run(DeviceAlignRunner, batch_pairs=512)
     assert host == dev
     assert host.count("\n") > 0
+
+
+def test_track_bait_btk(golden_dir, tmp_path):
+    """-tb bait tracker .btk.kmdb byte-exact vs reference golden."""
+    rpgg = RPGG(os.path.join(golden_dir, "pan"), bait=True)
+    cfg = AlignConfig(ksize=21, cth=20, n_filter=4, nm_filter=1,
+                      simmode=2, bait=True, track_bait=True)
+    al = HostAligner(rpgg, cfg)
+    al.run_file(os.path.join(golden_dir, "reads.sim.fa"))
+    al.write_btk(str(tmp_path / "our.btk.kmdb"))
+    assert (tmp_path / "our.btk.kmdb").read_bytes() == open(
+        os.path.join(golden_dir, "out.tb.btk.kmdb"), "rb").read()
+
+
+def test_trim_db_selection(golden_dir, tmp_path, monkeypatch):
+    """-t reads $PREF.tr.trim<T>.kmers as the TR kmer DB."""
+    import shutil
+
+    pan = tmp_path / "pan"
+    for suf in (".kmers.dbi", ".fl.kdb", ".tre.kdb", ".tr.kmers",
+                ".graph.kmers"):
+        shutil.copy(os.path.join(golden_dir, "pan" + suf),
+                    str(pan) + suf)
+    shutil.copy(str(pan) + ".tr.kmers", str(pan) + ".tr.trim3.kmers")
+    os.remove(str(pan) + ".tr.kmers")
+    rpgg = RPGG(str(pan), trim=3)
+    assert rpgg.nloci > 0

@@ -284,6 +284,15 @@ def main():
          os.path.join(OUT, "bait.TP_pf.txt")])
     run([f"{REFBIN}/ktools", "serialize-bt", os.path.join(OUT,
          "bait.FPSkmer.tsv"), str(NLOCI), pan])
+    with open("/dev/null", "w") as devnull:
+        run([f"{REFBIN}/danbing-tk", "-k", str(KSIZE), "-qs", pan, "-fa",
+             os.path.join(OUT, "reads.sim.fa"), "-p", "1", "-cth", "20",
+             "-kf", "4", "1", "-b", "-tb", "-s", "2", "-o",
+             os.path.join(OUT, "out.tb")], stdout=devnull, env=env)
+    for junk in ("out.tb.trkmc.ar", "out.tb.tr.summary.txt"):
+        jp = os.path.join(OUT, junk)
+        if os.path.exists(jp):
+            os.remove(jp)
     align(["-b", "-s", "2", "-o"], os.path.join(OUT, "out.bait"),
           "out.bait.kam", reads="reads.sim.fa")
     # --- simmode-1 golden (reads grouped by locus, >LOCUS.IND titles) ---
