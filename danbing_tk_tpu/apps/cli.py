@@ -88,7 +88,8 @@ def _cmd_fa2kmers(args):
     from ..apps.fa2kmers import fa2kmers, make_tre_kmers
 
     fa2kmers(args.o, args.fa, k=args.k, fsi=args.fsi, fso=args.fso,
-             gen_graph=args.g, tr_only=args.tr, threshold=args.th)
+             gen_graph=args.g, tr_only=args.tr, threshold=args.th,
+             prune_file=args.p)
     if args.tre:
         make_tre_kmers(args.o, args.fa, args.k, args.fsi)
 
@@ -265,6 +266,7 @@ def main(argv=None):
     f.add_argument("-g", action="store_true")
     f.add_argument("-tr", action="store_true")
     f.add_argument("-th", type=int, default=0)
+    f.add_argument("-p", help="prune kmer file (-p)", default=None)
     f.add_argument("--tre", action="store_true")
     f.set_defaults(fn=_cmd_fa2kmers)
 

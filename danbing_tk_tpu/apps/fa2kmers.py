@@ -64,6 +64,11 @@ class _OrderedCounter:
         for k in self.order:
             yield k, self.val[k]
 
+    def erase(self, key: int):
+        if key in self.val:
+            self.order.erase(key)
+            del self.val[key]
+
     def __len__(self):
         return len(self.val)
 
@@ -101,11 +106,27 @@ def _graph_into(oc: _OrderedCounter, seq: str, k: int):
                 oc.bor(km, 0)
 
 
+def _remove_node_from_graph(gr: "_OrderedCounter", node: int, k: int):
+    """removeNodeFromGraph (fa2kmers.cpp:18-32): drop the node and clear
+    the edge bit pointing at it from every possible upstream node."""
+    mask = (1 << (2 * k)) - 1 - 3
+    pref = 1 << (2 * (k - 1))
+    if node in gr.val:
+        gr.erase(node)
+        nucmask = 0xFF - (1 << (node % 4))
+        km1 = (node & mask) >> 2
+        for nuc in range(4):
+            prev = nuc * pref + km1
+            if prev in gr.val:
+                gr.val[prev] &= nucmask
+
+
 def fa2kmers(out_pref: str, fastas: list[str], k: int = 21, fsi: int = 700,
              fso: int = 700, nfile2count: int | None = None,
              gen_graph: bool = True, tr_only: bool = False,
              threshold: int = 0, orthomap: list[list[bool]] | None = None,
-             nloci: int | None = None, binary: bool = False):
+             nloci: int | None = None, binary: bool = False,
+             prune_file: str | None = None):
     """Writes <out_pref>.tr.kmers [+ .fl.kmers, .graph.kmers] (-on format),
     or binary .kmdb files when ``binary`` (the reference's default -o mode,
     dumpKmerMapDB with u64 values).
@@ -141,6 +162,33 @@ def fa2kmers(out_pref: str, fastas: list[str], k: int = 21, fsi: int = 700,
                 if gen_graph:
                     _graph_into(gr[locus], seq, k)
             locus += 1
+
+    if prune_file is not None:
+        # -p (fa2kmers.cpp:165-188): erase pruned kmers from the TR DB and
+        # remove their fwd+RC nodes from the graph, in the pruned map's
+        # own iteration order
+        pruned = [_OrderedCounter() for _ in range(nloci)]
+        li = -1
+        with open(prune_file, "rb") as f:
+            for line in f:
+                if line.startswith(b">"):
+                    li += 1
+                else:
+                    parts = line.split()
+                    pruned[li].bump(int(parts[0]),
+                                    int(parts[1]) if len(parts) > 1 else 0)
+        from ..ops.kmers_np import revcomp_kmers
+        import numpy as np
+
+        for locus in range(nloci):
+            for km, _ in pruned[locus].items_in_map_order():
+                tr[locus].erase(km)
+            if gen_graph:
+                for km, _ in pruned[locus].items_in_map_order():
+                    rc = int(revcomp_kmers(
+                        np.array([km], dtype=np.uint64), k)[0])
+                    _remove_node_from_graph(gr[locus], km, k)
+                    _remove_node_from_graph(gr[locus], rc, k)
 
     if binary:
         _write_kmdb(out_pref + ".tr.kmdb", tr, threshold)

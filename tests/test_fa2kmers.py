@@ -38,3 +38,16 @@ def test_make_tre_matches_golden(golden_dir, tmp_path):
     make_tre_kmers(str(tmp_path / "pan"), haps, k=21, fsi=700)
     assert (tmp_path / "pan.tre.kmers").read_bytes() == open(
         os.path.join(golden_dir, "pan.tre.kmers"), "rb").read()
+
+
+def test_fa2kmers_prune(golden_dir, tmp_path):
+    """-p prune: TR kmers erased + fwd/RC graph node removal, byte-exact."""
+    from danbing_tk_tpu.apps.fa2kmers import fa2kmers
+
+    pref = str(tmp_path / "pan.pruned")
+    fa2kmers(pref, [os.path.join(golden_dir, f"hap{i}.fa")
+                    for i in range(4)], k=21, fsi=700, fso=700,
+             prune_file=os.path.join(golden_dir, "prune.kmers"))
+    for suf in (".tr.kmers", ".fl.kmers", ".graph.kmers"):
+        assert open(pref + suf, "rb").read() == open(
+            os.path.join(golden_dir, "pan.pruned" + suf), "rb").read(), suf

@@ -215,6 +215,21 @@ def main():
          "-fso", str(FS), "-on", os.path.join(OUT, "pan"), "-fa",
          str(NHAP)] + hapfiles
     )
+    # -p prune golden: every 3rd TR kmer per locus pruned
+    with open(os.path.join(OUT, "prune.kmers"), "w") as fo:
+        n = 0
+        for line in open(os.path.join(OUT, "pan.tr.kmers")):
+            if line.startswith(">"):
+                n = 0
+                fo.write(line)
+            else:
+                if n % 3 == 0:
+                    fo.write(line)
+                n += 1
+    run([f"{REFBIN}/fa2kmers", "-g", "-k", str(KSIZE), "-fsi", str(FS),
+         "-fso", str(FS), "-p", os.path.join(OUT, "prune.kmers"), "-on",
+         os.path.join(OUT, "pan.pruned"), "-fa", str(NHAP)] + hapfiles)
+
     tre = make_tre(haps)
     with open(os.path.join(OUT, "pan.tre.kmers"), "w") as f:
         for li in range(NLOCI):
