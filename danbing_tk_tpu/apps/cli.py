@@ -98,7 +98,8 @@ def _cmd_genpankmers(args):
     from ..apps.genpankmers import gen_pan_kmers
 
     gen_pan_kmers(args.o, args.k,
-                  ortho_map=None if args.m == "-" else args.m)
+                  ortho_map=None if args.m == "-" else args.m,
+                  tr_only=args.tr, tre_only=args.tre)
 
 
 def _cmd_pred(args):
@@ -124,7 +125,7 @@ def _cmd_simreads(args):
 
     sim_reads(args.i, sys.stdout, cov=args.c, flen=args.fs, rlen=args.rlen,
               min_ctg_len=args.ml, uni=args.uni, bed=args.bed,
-              seed=args.seed)
+              seed=args.seed, out_pref=args.o, split=args.split)
 
 
 def _cmd_bam2pe(args):
@@ -274,6 +275,8 @@ def main(argv=None):
     g.add_argument("-o", required=True)
     g.add_argument("-m", default="-")
     g.add_argument("-k", nargs="+", required=True)
+    g.add_argument("-tr", action="store_true")
+    g.add_argument("-tre", action="store_true")
     g.set_defaults(fn=_cmd_genpankmers)
 
     pr = sub.add_parser("pred", help="bias correction")
@@ -305,6 +308,8 @@ def main(argv=None):
     sr.add_argument("-uni", action="store_true")
     sr.add_argument("-bed", action="store_true")
     sr.add_argument("--seed", type=int, default=0)
+    sr.add_argument("-o", default=None)
+    sr.add_argument("-split", action="store_true")
     sr.set_defaults(fn=_cmd_simreads)
 
     bp = sub.add_parser("bam2pe")

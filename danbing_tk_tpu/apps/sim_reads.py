@@ -40,14 +40,23 @@ def iter_fasta(path: str):
 
 def sim_reads(fasta: str, out, cov: int = 15, flen: int = 500,
               rlen: int = 150, min_ctg_len: int = 50000,
-              uni: bool = False, bed: bool = False, seed: int = 0):
-    """Writes interleaved PE fasta (or bed rows) to the ``out`` stream."""
+              uni: bool = False, bed: bool = False, seed: int = 0,
+              out_pref: str | None = None, split: bool = False):
+    """Writes interleaved PE fasta (or bed rows) to the ``out`` stream;
+    with ``out_pref`` (-o) writes <pref>.allctgs.reads.{fa,bed} instead,
+    and ``split`` (-split) writes one <pref>.<ctg>.reads.* per contig
+    (sim_reads.cpp:152-225)."""
     shft = 2 * rlen // cov
     nbeg = flen - rlen
     rng = np.random.default_rng(seed)
+    ext = ".reads.bed" if bed else ".reads.fa"
+    if out_pref and not split:
+        out = open(out_pref + ".allctgs" + ext, "w")
     for name, ctg in iter_fasta(fasta):
         if len(ctg) < min_ctg_len:
             continue
+        if out_pref and split:
+            out = open(f"{out_pref}.{name}{ext}", "w")
         ctg_up = ctg.upper()
         if uni:
             nread = (len(ctg) * cov) // (2 * rlen)
@@ -63,3 +72,7 @@ def sim_reads(fasta: str, out, cov: int = 15, flen: int = 500,
             else:
                 out.write(f">{name}:{beg}-{beg + flen}/1\n{fwd}\n"
                           f">{name}:{beg}-{beg + flen}/2\n{rev}\n")
+        if out_pref and split:
+            out.close()
+    if out_pref and not split:
+        out.close()
