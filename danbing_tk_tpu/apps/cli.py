@@ -166,9 +166,15 @@ def _cmd_ktools(args):
         for v in kt.ksi(a[0]):
             print(v)
     elif args.sub == "sum":
-        ks = [int(x) for x in open(a[0])]
-        for v in kt.kms_sum(ks, a[1]):
-            print(v)
+        if a[0] == "-f":
+            ks = [int(x) for x in open(a[1])]
+            files = [line.strip() for line in open(a[2])]
+            with open(a[3], "w") as fo:
+                kt.kms_sum_matrix(ks, files, fo)
+        else:
+            ks = [int(x) for x in open(a[0])]
+            for v in kt.kms_sum(ks, a[1]):
+                print(v)
     elif args.sub == "extract":
         kt.extract(a[0], int(a[1]), a[2])
     elif args.sub == "extract-bt":

@@ -39,6 +39,30 @@ def ksi(kmers_path: str) -> list[int]:
     return out
 
 
+def kms_sum_matrix(ksi_list: list[int], kmer_files: list[str], out):
+    """ktools sum -f: sample x locus matrix (kmertools.cpp:68-108).
+    Tab-separated per row; the final locus emits '\n' and stops reading
+    that sample's file (same early break as the single-file mode)."""
+    for path in kmer_files:
+        idx, ki, kms = 0, 0, 0
+        with open(path, "rb") as f:
+            for line in f:
+                kms += int(line)
+                ki += 1
+                stop = False
+                while idx < len(ksi_list) and ksi_list[idx] == ki:
+                    idx += 1
+                    if idx != len(ksi_list):
+                        out.write(f"{kms}\t")
+                        kms = 0
+                    else:
+                        out.write(f"{kms}\n")
+                        stop = True
+                        break
+                if stop:
+                    break
+
+
 def kms_sum(ksi_list: list[int], counts_path: str) -> list[int]:
     """Sum count-only kmer file (align -o readable output) per locus."""
     sums = []

@@ -83,3 +83,19 @@ def test_device_align_qc_bit_exact(golden_dir, tmp_path):
         golden_dir, "out.qc.trkmc.ar")
     assert (tmp_path / "out.kam").read_bytes() == _gold(
         golden_dir, "out.qc.kam")
+
+
+def test_kms_sum_matrix(golden_dir, tmp_path):
+    """ktools sum -f sample x locus matrix == row-per-sample of the
+    single-file sums (validated once against the reference binary)."""
+    import io
+
+    from danbing_tk_tpu.apps.ktools import ksi, kms_sum, kms_sum_matrix
+
+    ks = list(ksi(os.path.join(golden_dir, "pan.tr.kmers")))
+    counts = os.path.join(golden_dir, "counts.txt")
+    single = kms_sum(ks, counts)
+    buf = io.StringIO()
+    kms_sum_matrix(ks, [counts, counts], buf)
+    row = "\t".join(str(v) for v in single)
+    assert buf.getvalue() == f"{row}\n{row}\n"
