@@ -50,8 +50,16 @@ class DeviceAlignRunner:
             with_annot=cfg.okam or cfg.threading,
             with_bubbles=cfg.output_bubbles, threading=cfg.threading)
         self.state = da.init_state(self.drp)
-        # host oracle handles referee'd pairs (counts go into rpgg dicts)
+        # host oracle handles referee'd pairs (counts go into rpgg dicts);
+        # the C++ engine (native/dtk_align.cpp) runs supported configs
+        # ~10x faster with identical state updates
         self.host = HostAligner(rpgg, cfg)
+        self.referee = self.host
+        if not os.environ.get("DTK_NO_NATIVE_REFEREE"):
+            from . import native_referee as nr
+
+            if nr.available() and nr.supported(cfg):
+                self.referee = nr.NativeReferee(self.host)
         self.kam_rows: list[str] = []
         self.extract_rows: list[str] = []
         self.aln_rows: list[str] = []
@@ -102,7 +110,7 @@ class DeviceAlignRunner:
                 self.n_referee += 1
                 s1 = _decode(codes[2 * i], rlen[2 * i])
                 s2 = _decode(codes[2 * i + 1], rlen[2 * i + 1])
-                self.host.process_pair(">r", s1, s2, -1)
+                self.referee.process_pair(">r", s1, s2, -1)
 
         for codes, rlen, n, _ in reader:
             if cursor + n <= done:
@@ -239,7 +247,7 @@ class DeviceAlignRunner:
             if referee[i]:
                 self.n_referee += 1
                 nrow0 = len(self.host.kam_rows)
-                self.host.process_pair(title, s1, s2, src)
+                self.referee.process_pair(title, s1, s2, src)
                 if len(self.host.kam_rows) > nrow0:
                     self.kam_rows.append(self.host.kam_rows.pop())
                 continue
@@ -276,7 +284,7 @@ class DeviceAlignRunner:
             if out["referee"][i]:
                 self.n_referee += 1
                 n0 = len(host.extract_rows)
-                host.process_pair(title, s1, s2, src)
+                host.process_pair(title, s1, s2, src)  # extract: py path
                 if len(host.extract_rows) > n0:
                     self.extract_rows.append(host.extract_rows.pop())
                 continue
