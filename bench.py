@@ -40,6 +40,7 @@ def main():
     L = 160
     nsteps = int(os.environ.get("DTK_BENCH_STEPS", 8))
     nloci = int(os.environ.get("DTK_BENCH_NLOCI", 512))
+    E = int(os.environ.get("DTK_BENCH_E", 512))
 
     pan = build(os.path.join(root, "build",
                              f"bench_rpgg{'' if nloci == 512 else nloci}"),
@@ -47,7 +48,7 @@ def main():
     rpgg = RPGG(pan)
     cfg = AlignConfig(ksize=21, cth=20, n_filter=4, nm_filter=1)
     drp = da.DeviceRPGG.build(rpgg, with_tre=False)
-    step = da.make_step(drp, cfg, P, L, with_annot=False)
+    step = da.make_step(drp, cfg, P, L, expand_cap=E, with_annot=False)
     state = da.init_state(drp)
 
     # realistic reads sampled from the bench haplotypes
@@ -114,9 +115,10 @@ def main():
         "unit": "reads/s",
         "vs_baseline": round(reads_per_sec / REF_READS_PER_SEC, 3),
     }))
+    nref = int(np.asarray(out["referee"]).sum())
     print(f"# device={jax.devices()[0]} compile={compile_s:.1f}s "
-          f"steady={dt/nsteps*1e3:.1f}ms/step P={P} nloci={nloci} "
-          f"index_keys={len(rpgg.dbi)} "
+          f"steady={dt/nsteps*1e3:.1f}ms/step P={P} E={E} nloci={nloci} "
+          f"index_keys={len(rpgg.dbi)} referee={nref}/{P} "
           f"kmer_lookups/s={lookups_per_sec:.3e} "
           f"prefilter_reads/s={pre_rate:.3e}", file=sys.stderr)
 

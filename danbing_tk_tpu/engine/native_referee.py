@@ -36,8 +36,9 @@ def available() -> bool:
 
 
 def supported(cfg) -> bool:
-    return not (cfg.threading or cfg.output_bubbles or cfg.extract
-                or cfg.track_bait)
+    # threading mode is supported: the C++ engine answers the vote, the
+    # threading walk runs on the native thread engine via _thread_pair
+    return not (cfg.output_bubbles or cfg.extract or cfg.track_bait)
 
 
 def _load():
@@ -172,6 +173,11 @@ class NativeReferee:
             st["nQCFiltered"] += 2 - int(vd[5 + 5]) - int(vd[5 + 15 + 5])
             return
         st["nThreadingReads"] += 2
+        if cfg.threading:
+            # mirror process_pair: the walk (and its counting/aln output)
+            # runs in _thread_pair against the vote's dst0
+            host._thread_pair(title, seq1, seq2, src, dst0)
+            return
         st["nFeasibleReads"] += 2
         if cfg.bait and (r1.bf or r2.bf):
             rm_pre1, rm_pre2 = int(vd[35]), int(vd[36])
