@@ -58,12 +58,19 @@ def main():
     seqs = read_fasta_seqs(os.path.join(os.path.dirname(pan), "hap0.fa"))
     codes = np.full((2 * P, L), 255, dtype=np.uint8)
     rlen = np.full(2 * P, L, dtype=np.int32)
-    for i in range(2 * P):
+    comp = str.maketrans("ACGT", "TGCA")
+    FLEN = 500
+    for i in range(P):
+        # proper PE pairs: both mates from one fragment of one locus
+        # (independent mates made ~every pair a test2-only referee)
         s = seqs[int(rng.integers(0, len(seqs)))]
-        beg = int(rng.integers(0, max(len(s) - L, 1)))
-        cs = K.encode_bases(s[beg : beg + L])
-        codes[i, : len(cs)] = cs
-        rlen[i] = len(cs)
+        beg = int(rng.integers(0, max(len(s) - FLEN, 1)))
+        r1 = s[beg : beg + L]
+        r2 = s[beg + FLEN - L : beg + FLEN][::-1].translate(comp)
+        for m, r in ((0, r1), (1, r2)):
+            cs = K.encode_bases(r)
+            codes[2 * i + m, : len(cs)] = cs
+            rlen[2 * i + m] = len(cs)
     live = np.ones(P, dtype=bool)
     # pre-upload the batch: on production hosts ingest is DMA'd/overlapped
     # (native reader + double buffering); this remote-tunnel environment
