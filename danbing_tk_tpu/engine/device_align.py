@@ -202,20 +202,24 @@ def _oh_gather(values, idx, W):
     one one-hot.  EXACTNESS: every input channel MUST be < 2^16 -- callers
     split wider values into 16-bit halves.
 
-    DTK_OH_BF16=1 rides each 16-bit channel as two 8-bit bf16 channels
-    (exact: ints < 2^8 in bf16, one product per output, f32 accumulation).
-    Measured SLOWER than f32 on v5e (116 vs 104 ms/step) -- the doubled
-    channel count and pack/unpack beat the bf16 rate gain, i.e. the
-    einsum itself is not the expansion stage's bottleneck -- so f32 is
-    the default.
+    Each 16-bit channel rides as two 8-bit bf16 channels: ints < 2^8 are
+    exact in bf16, the one-hot keeps each output a single product, and
+    accumulation is f32.  This is the only layout that is exact on the
+    TPU MXU -- a plain f32 einsum is exact on CPU but the TPU's DEFAULT
+    matmul precision truncates f32 inputs to bf16 (8 significand bits),
+    silently corrupting 16-bit integer channels (caught by an on-device
+    prefilter audit; CPU-only tests can't see it).  DTK_OH_F32=1 selects
+    the f32 path with precision='highest' (f32x3 passes, exact but
+    slower) for cross-checking.
     """
     C = len(values)
-    if not os.environ.get("DTK_OH_BF16"):
+    if os.environ.get("DTK_OH_F32"):
         oh = jax.nn.one_hot(idx, W, dtype=jnp.float32)      # (P, E, W)
         stacked = jnp.stack([v.astype(jnp.float32) for v in values],
                             axis=-1)                        # (P, W, C)
         out = jnp.einsum("pew,pwc->pec", oh, stacked,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
         return [out[..., c].astype(jnp.int32) for c in range(C)]
     oh = jax.nn.one_hot(idx, W, dtype=jnp.bfloat16)
     halves = []
