@@ -36,7 +36,15 @@ def _cmd_align(args):
         al = DeviceAlignRunner(rpgg, cfg)
     else:
         al = HostAligner(rpgg, cfg)
-    al.run_file(args.fa or args.fq)
+    if args.native_io or args.prefilter:
+        assert args.device, "--native-io/--prefilter need --device"
+        al.run_file_native(args.fa or args.fq, checkpoint=args.checkpoint,
+                           prefilter=args.prefilter)
+    elif args.checkpoint:
+        assert args.device, "--checkpoint needs --device"
+        al.run_file(args.fa or args.fq, checkpoint=args.checkpoint)
+    else:
+        al.run_file(args.fa or args.fq)
     if cfg.extract:
         al.write_extract(sys.stdout)
         return
@@ -232,6 +240,15 @@ def main(argv=None):
     a.add_argument("-ae", action="store_true")
     a.add_argument("--device", action="store_true",
                    help="run the TPU device engine")
+    a.add_argument("--native-io", action="store_true",
+                   help="C++ streaming reader (production ingest; "
+                        "counting mode only)")
+    a.add_argument("--prefilter", action="store_true",
+                   help="device sampled-kmer prefilter pass before the "
+                        "full pipeline (WGS production path)")
+    a.add_argument("--checkpoint", metavar="PATH",
+                   help="periodically persist count state; resume from "
+                        "PATH after a crash")
     a.set_defaults(fn=_cmd_align)
 
     b = sub.add_parser("build", help="build an RPGG from assemblies+beds")

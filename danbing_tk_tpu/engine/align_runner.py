@@ -31,6 +31,10 @@ def _decode(codes: np.ndarray, rlen: int) -> str:
     return _DECODE[codes[:rlen]].tobytes().decode()
 
 
+def _decode_qual(quals: np.ndarray, rlen: int) -> str:
+    return quals[:rlen].tobytes().decode()
+
+
 class DeviceAlignRunner:
     def __init__(self, rpgg: RPGG, cfg: AlignConfig, batch_pairs: int = 4096,
                  max_read_len: int = 256, expand_cap: int = 512):
@@ -45,10 +49,16 @@ class DeviceAlignRunner:
         self.drp = da.DeviceRPGG.build(rpgg, with_tre=cfg.output_bubbles)
         if cfg.threading:
             self.drp.add_graph(rpgg)
+        # fastq + bait needs the reference's quality mask in the bait
+        # count profile (aQueryFasta_thread.h:1038-1078); the mask is
+        # computed host-side (vectorized) and fed to the device step
+        self.with_qual = bool(cfg.is_fastq and cfg.bait
+                              and self.drp.bait_tab is not None)
         self.step = da.make_step(
             self.drp, cfg, self.P, self.L, expand_cap=expand_cap,
             with_annot=cfg.okam or cfg.threading,
-            with_bubbles=cfg.output_bubbles, threading=cfg.threading)
+            with_bubbles=cfg.output_bubbles, threading=cfg.threading,
+            with_qual=self.with_qual)
         self.state = da.init_state(self.drp)
         # host oracle handles referee'd pairs (counts go into rpgg dicts);
         # the C++ engine (native/dtk_align.cpp) runs supported configs
@@ -84,35 +94,67 @@ class DeviceAlignRunner:
             not cfg.simmode, "native path covers counting mode"
         from ..io.native_reader import NativeBatchReader
 
+        wq = self.with_qual
         if prefilter:
-            assert checkpoint is None, "prefilter+checkpoint: not yet"
             if not hasattr(self, "prefilter_step"):
                 self.prefilter_step = da.make_prefilter_step(
                     self.drp, cfg, self.P, self.L)
             self.n_prefiltered = 0
             buf_codes = np.full((2 * self.P, self.L), 255, dtype=np.uint8)
             buf_rlen = np.zeros(2 * self.P, dtype=np.int32)
+            buf_quals = np.zeros((2 * self.P, self.L), dtype=np.uint8) \
+                if wq else None
             nbuf = 0
 
-        done = self._load_checkpoint(checkpoint) if checkpoint else 0
+        done, pre_state = (self._load_checkpoint(checkpoint)
+                           if checkpoint else (0, None))
+        if prefilter and pre_state is not None:
+            # resume the survivor repack buffer saved with the cursor
+            buf_codes = pre_state["buf_codes"]
+            buf_rlen = pre_state["buf_rlen"]
+            nbuf = int(pre_state["nbuf"])
+            self.n_prefiltered = int(pre_state["n_prefiltered"])
+            if wq and "buf_quals" in pre_state:
+                buf_quals = pre_state["buf_quals"]
         cursor = 0
         since = 0
         reader = NativeBatchReader(
             path, self.P, self.L, is_fastq=cfg.is_fastq,
-            min_read_size=cfg.cth + cfg.ksize - 1, with_titles=False)
+            min_read_size=cfg.cth + cfg.ksize - 1, with_titles=False,
+            with_quals=wq)
 
-        def full_step(codes, rlen, n):
+        def full_step(codes, rlen, n, quals=None):
             live = np.zeros(self.P, dtype=bool)
             live[:n] = True
-            self.state, out = self.step(self.state, codes, rlen, live)
+            if wq:
+                qm = da.qmask_batch(quals, rlen, cfg.qth, cfg.ksize)
+                self.state, out = self.step(
+                    self.state, codes, rlen, live, qm)
+            else:
+                self.state, out = self.step(self.state, codes, rlen, live)
             referee = np.asarray(out["referee"])[:n]
             for i in np.nonzero(referee)[0]:
                 self.n_referee += 1
                 s1 = _decode(codes[2 * i], rlen[2 * i])
                 s2 = _decode(codes[2 * i + 1], rlen[2 * i + 1])
-                self.referee.process_pair(">r", s1, s2, -1)
+                qs = (None, None)
+                if cfg.is_fastq and quals is not None:
+                    qs = (_decode_qual(quals[2 * i], rlen[2 * i]),
+                          _decode_qual(quals[2 * i + 1], rlen[2 * i + 1]))
+                self.referee.process_pair(">r", s1, s2, -1, qs)
 
-        for codes, rlen, n, _ in reader:
+        def save_ckpt():
+            extra = None
+            if prefilter:
+                extra = dict(buf_codes=buf_codes, buf_rlen=buf_rlen,
+                             nbuf=nbuf, n_prefiltered=self.n_prefiltered)
+                if wq:
+                    extra["buf_quals"] = buf_quals
+            self._save_checkpoint(checkpoint, cursor, extra)
+
+        for rec in reader:
+            codes, rlen, n = rec[0], rec[1], rec[2]
+            quals = rec[4] if wq else None
             if cursor + n <= done:
                 cursor += n
                 continue
@@ -128,25 +170,32 @@ class DeviceAlignRunner:
                     buf_codes[2 * nbuf + 1] = codes[2 * i + 1]
                     buf_rlen[2 * nbuf] = rlen[2 * i]
                     buf_rlen[2 * nbuf + 1] = rlen[2 * i + 1]
+                    if wq:
+                        buf_quals[2 * nbuf] = quals[2 * i]
+                        buf_quals[2 * nbuf + 1] = quals[2 * i + 1]
                     nbuf += 1
                     if nbuf == self.P:
-                        full_step(buf_codes, buf_rlen, nbuf)
+                        full_step(buf_codes, buf_rlen, nbuf, buf_quals)
                         buf_codes = np.full((2 * self.P, self.L), 255,
                                             dtype=np.uint8)
                         buf_rlen = np.zeros(2 * self.P, dtype=np.int32)
+                        if wq:
+                            buf_quals = np.zeros((2 * self.P, self.L),
+                                                 dtype=np.uint8)
                         nbuf = 0
             else:
-                full_step(codes, rlen, n)
+                full_step(codes, rlen, n, quals)
             cursor += n
             since += n
             if checkpoint and since >= checkpoint_every:
-                self._save_checkpoint(checkpoint, cursor)
+                save_ckpt()
                 since = 0
         if prefilter and nbuf:
-            full_step(buf_codes, buf_rlen, nbuf)
+            full_step(buf_codes, buf_rlen, nbuf, buf_quals)
+            nbuf = 0
         self.host.flush_batch()
         if checkpoint and since:
-            self._save_checkpoint(checkpoint, cursor)
+            save_ckpt()
 
     def run_file(self, path: str, checkpoint: str | None = None,
                  checkpoint_every: int = 1_000_000):
@@ -160,13 +209,13 @@ class DeviceAlignRunner:
         if checkpoint is not None:
             assert not cfg.okam and not cfg.output_bubbles, \
                 "checkpointing covers counting mode only"
-        done = self._load_checkpoint(checkpoint) if checkpoint else 0
+        done = (self._load_checkpoint(checkpoint)[0] if checkpoint else 0)
         cursor = 0
         since = 0
         min_read_size = cfg.cth + cfg.ksize - 1
         for batch in iter_fasta_pairs(
             path, min_read_size, self.rpgg.nloci, cfg.simmode,
-            cfg.reads_per_batch // 2,
+            cfg.reads_per_batch // 2, is_fastq=cfg.is_fastq,
         ):
             for i in range(0, len(batch), self.P):
                 chunk = batch[i : i + self.P]
@@ -184,7 +233,8 @@ class DeviceAlignRunner:
         if checkpoint and since:
             self._save_checkpoint(checkpoint, cursor)
 
-    def _save_checkpoint(self, path: str, cursor: int):
+    def _save_checkpoint(self, path: str, cursor: int,
+                         extra: dict | None = None):
         import numpy as _np
 
         state = {k: np.asarray(v) for k, v in self.state.items()}
@@ -192,12 +242,14 @@ class DeviceAlignRunner:
                   host_counts=self.host.flat_counts(),
                   host_nmapread=self.host.nmapread,
                   host_kmc=self.host.kmc, n_referee=self.n_referee,
-                  **{f"dev_{k}": v for k, v in state.items()})
+                  **{f"dev_{k}": v for k, v in state.items()},
+                  **{f"x_{k}": v for k, v in (extra or {}).items()})
         os.replace(path + ".tmp.npz", path)
 
-    def _load_checkpoint(self, path: str) -> int:
+    def _load_checkpoint(self, path: str) -> tuple[int, dict | None]:
+        """Returns (pair cursor, extra-state dict or None)."""
         if not os.path.exists(path):
-            return 0
+            return 0, None
         z = np.load(path)
         import jax.numpy as jnp
 
@@ -214,14 +266,18 @@ class DeviceAlignRunner:
         self.host.nmapread = z["host_nmapread"].copy()
         self.host.kmc = z["host_kmc"].copy()
         self.n_referee = int(z["n_referee"])
-        return int(z["cursor"])
+        extra = {k[2:]: z[k] for k in z.files if k.startswith("x_")}
+        return int(z["cursor"]), (extra or None)
 
     def _run_chunk(self, pairs):
         n = len(pairs)
         codes = np.full((2 * self.P, self.L), 255, dtype=np.uint8)
         rlen = np.zeros(2 * self.P, dtype=np.int32)
         live = np.zeros(self.P, dtype=bool)
-        for i, (title, s1, s2, src) in enumerate(pairs):
+        quals = np.zeros((2 * self.P, self.L), dtype=np.uint8) \
+            if self.with_qual else None
+        for i, rec in enumerate(pairs):
+            s1, s2 = rec[1], rec[2]
             c1 = K.encode_bases(s1)[: self.L]
             c2 = K.encode_bases(s2)[: self.L]
             codes[2 * i, : len(c1)] = c1
@@ -229,7 +285,16 @@ class DeviceAlignRunner:
             rlen[2 * i] = len(c1)
             rlen[2 * i + 1] = len(c2)
             live[i] = True
-        self.state, out = self.step(self.state, codes, rlen, live)
+            if quals is not None:
+                q1 = np.frombuffer(rec[4].encode(), np.uint8)[: self.L]
+                q2 = np.frombuffer(rec[5].encode(), np.uint8)[: self.L]
+                quals[2 * i, : len(q1)] = q1
+                quals[2 * i + 1, : len(q2)] = q2
+        if self.with_qual:
+            qm = da.qmask_batch(quals, rlen, self.cfg.qth, self.cfg.ksize)
+            self.state, out = self.step(self.state, codes, rlen, live, qm)
+        else:
+            self.state, out = self.step(self.state, codes, rlen, live)
         out = {k: np.asarray(v) for k, v in out.items()}
         self._post_chunk(pairs, out, n)
 
@@ -243,11 +308,13 @@ class DeviceAlignRunner:
         cfg = self.cfg
         nloci = self.rpgg.nloci
         referee = out["referee"]
-        for i, (title, s1, s2, src) in enumerate(pairs):
+        for i, rec in enumerate(pairs):
+            title, s1, s2, src = rec[:4]
+            quals = tuple(rec[4:6]) if len(rec) > 4 else (None, None)
             if referee[i]:
                 self.n_referee += 1
                 nrow0 = len(self.host.kam_rows)
-                self.referee.process_pair(title, s1, s2, src)
+                self.referee.process_pair(title, s1, s2, src, quals)
                 if len(self.host.kam_rows) > nrow0:
                     self.kam_rows.append(self.host.kam_rows.pop())
                 continue
@@ -274,17 +341,19 @@ class DeviceAlignRunner:
             if cfg.okam and ((src != nloci and src != -1) or dest != nloci):
                 self.kam_rows.append(
                     self._kam_from_device(title, src, dest, dst0, out, i,
-                                          s1, s2))
+                                          s1, s2, quals))
 
     def _post_chunk_extract(self, pairs, out):
         """-e mode: emit vote-assigned pairs, no counting (QC/bait do
         not apply; the reference loads only the dbi here)."""
         host = self.host
-        for i, (title, s1, s2, src) in enumerate(pairs):
+        for i, rec in enumerate(pairs):
+            title, s1, s2, src = rec[:4]
+            quals = tuple(rec[4:6]) if len(rec) > 4 else (None, None)
             if out["referee"][i]:
                 self.n_referee += 1
                 n0 = len(host.extract_rows)
-                host.process_pair(title, s1, s2, src)  # extract: py path
+                host.process_pair(title, s1, s2, src, quals)  # py path
                 if len(host.extract_rows) > n0:
                     self.extract_rows.append(host.extract_rows.pop())
                 continue
@@ -292,7 +361,7 @@ class DeviceAlignRunner:
                     or not out["pair_alive"][i]
                     or not out["vote_pass"][i]):
                 continue
-            host._record_extract(title, s1, s2, int(out["dst0"][i]))
+            host._record_extract(title, s1, s2, int(out["dst0"][i]), quals)
             self.extract_rows.append(host.extract_rows.pop())
 
     def write_extract(self, fh):
@@ -305,11 +374,13 @@ class DeviceAlignRunner:
         nloci = self.rpgg.nloci
         rows = self.host.extract_rows if cfg.extract else self.host.aln_rows
         dest_rows = self.extract_rows if cfg.extract else self.aln_rows
-        for i, (title, s1, s2, src) in enumerate(pairs):
+        for i, rec in enumerate(pairs):
+            title, s1, s2, src = rec[:4]
+            quals = tuple(rec[4:6]) if len(rec) > 4 else (None, None)
             if out["referee"][i]:
                 self.n_referee += 1
                 n0 = len(rows)
-                self.host.process_pair(title, s1, s2, src)
+                self.host.process_pair(title, s1, s2, src, quals)
                 if len(rows) > n0:
                     dest_rows.append(rows.pop())
                 continue
@@ -328,7 +399,7 @@ class DeviceAlignRunner:
                 continue
             if cfg.extract:
                 # clean walk => both mates feasible
-                self.host._record_extract(title, s1, s2, dst0)
+                self.host._record_extract(title, s1, s2, dst0, quals)
                 self.extract_rows.append(self.host.extract_rows.pop())
                 continue
             # device-handled clean pair: aln row is all-matches
@@ -367,7 +438,8 @@ class DeviceAlignRunner:
             order.insert(e)
             counts[e] = counts.get(e, 0) + 1
 
-    def _kam_from_device(self, title, src, dest, dst0, out, i, s1, s2):
+    def _kam_from_device(self, title, src, dest, dst0, out, i, s1, s2,
+                         quals=(None, None)):
         # assignTRkmc fields are populated whenever the pair passed the vote
         # (even if both mates were then af-removed, dest -> nloci); pairs
         # that failed the vote keep struct defaults (reference :2056-2062)
@@ -391,7 +463,7 @@ class DeviceAlignRunner:
                 r.as_ = out["ann"][ridx][:nk].tolist()
             rs.append(r)
         return _kam_row(title, src, dest, dst0, rs[0], rs[1], s1, s2,
-                        self.cfg.is_fastq)
+                        self.cfg.is_fastq, quals[0] or ".", quals[1] or ".")
 
     # -- outputs --
 

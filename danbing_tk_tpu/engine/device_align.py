@@ -324,10 +324,37 @@ def make_prefilter_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
     return lambda codes, rlen, live: jitted(codes, rlen, live)
 
 
+def qmask_batch(quals: np.ndarray, rlen: np.ndarray, qth: int,
+                k: int) -> np.ndarray:
+    """Vectorized qString2qMask (aQueryFasta_thread.h:1043-1078) over a
+    (R, L) batch of raw phred+33 quality bytes (0-padded).
+
+    The reference's two-pointer scan is NOT a plain sliding-window AND:
+    once the scan position reaches nk (= nq-k+1), later windows are left
+    False even if their bases all pass.  Fuzz-verified closed form:
+        qmask[w] = all(q[w..w+k-1] >= qth)
+                   AND (w <= nk-k  OR  w is a good-run start)
+    Returns (R, L-k+1) bool aligned with the k-mer window index.
+    """
+    R, L = quals.shape
+    NKW = L - k + 1
+    good = (quals.astype(np.int32) - 33) >= qth
+    # padded tail bytes are 0 -> good False there already
+    c = np.cumsum(good.astype(np.int32), axis=1)
+    c = np.concatenate([np.zeros((R, 1), np.int32), c], axis=1)
+    fullgood = (c[:, k:] - c[:, :-k]) == k          # (R, NKW)
+    w = np.arange(NKW, dtype=np.int32)[None, :]
+    nk = (rlen - k + 1).astype(np.int32)[:, None]
+    runstart = np.concatenate(
+        [np.ones((R, 1), bool), ~good[:, : NKW - 1]], axis=1)
+    return fullgood & (w < nk) & ((w <= nk - k) | runstart)
+
+
 def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
               expand_cap: int = 512, with_annot: bool = True,
               with_bubbles: bool = False, jit: bool = True,
-              threading: bool = False, probe_fns: dict | None = None):
+              threading: bool = False, probe_fns: dict | None = None,
+              with_qual: bool = False):
     """Builds the (by default jitted) per-batch function.
 
     probe_fns: optional {"dbi": fn(q_lo, q_hi), "trfl": fn(q_lo, q_hi,
@@ -379,7 +406,7 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
                                for t, _ in drp.graph_tab.levels]
         salts["graph"] = [s for _, s in drp.graph_tab.levels]
 
-    def step(state, codes, rlen, live, tabs=None):
+    def step(state, codes, rlen, live, qmask=None, tabs=None):
         tb = tabs if tabs is not None else const_tabs
         dbi_lv = list(zip(tb["dbi"], salts["dbi"]))
         vv = tb["vv"]
@@ -593,7 +620,14 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
         # bait filter: per-read kmer count profile vs FP [mi,ma] windows
         # (bfilter_FPSv1 :1377-1419); violation removes BOTH mates
         if bait_lv is not None:
-            bs_hi, bs_lo = jax.lax.sort((khi, klo), dimension=-1,
+            # quality-masked bait (qString2qMask, h:1038-1078): masked
+            # k-mers are excluded from the count profile entirely, exactly
+            # as the host skips them when building kc
+            bklo, bkhi = klo, khi
+            if qmask is not None:
+                bklo = jnp.where(qmask, klo, EMPTY)
+                bkhi = jnp.where(qmask, khi, EMPTY)
+            bs_hi, bs_lo = jax.lax.sort((bkhi, bklo), dimension=-1,
                                         num_keys=2)
             bs_valid = ~((bs_hi == EMPTY) & (bs_lo == EMPTY))
             bnew = bs_valid & jnp.concatenate(
@@ -815,11 +849,12 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
     if not jit:
         return step
     jitted = jax.jit(step, donate_argnums=(0,))
-    if os.environ.get("DTK_TABLE_ARGS"):
-        return lambda state, codes, rlen, live: jitted(
-            state, codes, rlen, live, const_tabs)
+    args_tabs = const_tabs if os.environ.get("DTK_TABLE_ARGS") else None
+    if with_qual:
+        return lambda state, codes, rlen, live, qmask: jitted(
+            state, codes, rlen, live, qmask=qmask, tabs=args_tabs)
     return lambda state, codes, rlen, live: jitted(
-        state, codes, rlen, live)
+        state, codes, rlen, live, tabs=args_tabs)
 
 
 def init_state(drp: DeviceRPGG):

@@ -35,6 +35,11 @@ def _native():
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
             ctypes.c_char_p, ctypes.c_int64]
+        _lib.dtk_reader_next_batch_q.restype = ctypes.c_int64
+        _lib.dtk_reader_next_batch_q.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64]
         _lib.dtk_reader_close.argtypes = [ctypes.c_void_p]
     return _lib
 
@@ -43,17 +48,22 @@ class NativeBatchReader:
     TITLE_STRIDE = 256
 
     def __init__(self, path: str, P: int, L: int, is_fastq: bool = False,
-                 min_read_size: int = 0, with_titles: bool = True):
+                 min_read_size: int = 0, with_titles: bool = True,
+                 with_quals: bool = False):
         lib = _native()
         self.lib = lib
         self.P, self.L = P, L
         self.with_titles = with_titles
+        self.with_quals = with_quals and is_fastq
         self.h = lib.dtk_reader_open(path.encode(), int(is_fastq),
                                      min_read_size)
         if not self.h:
             raise FileNotFoundError(path)
 
     def __iter__(self):
+        """Yields (codes, rlen, n, titles) — or, with ``with_quals``,
+        (codes, rlen, n, titles, quals) where quals is (2P, L) u8 of raw
+        ASCII phred+33 bytes (0-padded)."""
         lib = self.lib
         P, L = self.P, self.L
         while True:
@@ -61,10 +71,14 @@ class NativeBatchReader:
             rlen = np.zeros(2 * P, dtype=np.int32)
             tbuf = ctypes.create_string_buffer(P * self.TITLE_STRIDE) \
                 if self.with_titles else None
-            n = lib.dtk_reader_next_batch(
+            quals = np.zeros((2 * P, L), dtype=np.uint8) \
+                if self.with_quals else None
+            n = lib.dtk_reader_next_batch_q(
                 self.h, codes.ctypes.data_as(
                     ctypes.POINTER(ctypes.c_uint8)),
                 rlen.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                quals.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+                if quals is not None else None,
                 P, L, tbuf, self.TITLE_STRIDE)
             if n == 0:
                 break
@@ -75,6 +89,9 @@ class NativeBatchReader:
                         ctypes.addressof(tbuf) + i * self.TITLE_STRIDE
                     ).decode()
                     for i in range(n)]
-            yield codes, rlen, int(n), titles
+            if self.with_quals:
+                yield codes, rlen, int(n), titles, quals
+            else:
+                yield codes, rlen, int(n), titles
         lib.dtk_reader_close(self.h)
         self.h = None

@@ -40,11 +40,16 @@ void dtk_sort_index_by_value(const uint64_t* data, uint64_t n,
 
 namespace {
 
+struct PendingRead {
+    std::string seq;
+    std::string qual;  // empty unless fastq
+};
+
 struct Reader {
     FILE* f = nullptr;
     bool fastq = false;
     int min_read_size = 0;
-    std::unordered_map<std::string, std::string> pending;
+    std::unordered_map<std::string, PendingRead> pending;
     std::string line;
 
     bool getline_(std::string& out) {
@@ -91,44 +96,55 @@ void* dtk_reader_open(const char* path, int is_fastq, int min_read_size) {
 
 // Fills codes (2P*L u8, pre-filled 255 by caller), rlen (2P i32), and
 // titles_buf (P * title_stride chars, NUL-terminated, '>' stripped).
+// quals (2P*L u8, raw ASCII phred+33, 0-padded) may be NULL; it is only
+// populated for fastq input (the device bait path needs the quality mask,
+// aQueryFasta_thread.h:1038-1078 semantics computed downstream).
 // Returns the number of pairs produced (< P at EOF; 0 when exhausted).
-int64_t dtk_reader_next_batch(void* rp, uint8_t* codes, int32_t* rlen,
-                              int64_t P, int64_t L, char* titles_buf,
-                              int64_t title_stride) {
+int64_t dtk_reader_next_batch_q(void* rp, uint8_t* codes, int32_t* rlen,
+                                uint8_t* quals, int64_t P, int64_t L,
+                                char* titles_buf, int64_t title_stride) {
     Reader* r = (Reader*)rp;
     int64_t np = 0;
-    std::string title, seq, dummy;
+    std::string title, seq, qual, dummy;
     while (np < P) {
         if (!r->getline_(title)) break;
         if (title.empty()) continue;
         if (!r->getline_(seq)) break;
+        qual.clear();
         if (r->fastq) {
             r->getline_(dummy);
-            r->getline_(dummy);
+            r->getline_(qual);
         }
         if (title[0] == '>' || title[0] == '@') title.erase(0, 1);
         prune_pe(title);
         auto it = r->pending.find(title);
         if (it == r->pending.end()) {
-            r->pending.emplace(std::move(title), std::move(seq));
+            r->pending.emplace(std::move(title),
+                               PendingRead{std::move(seq), std::move(qual)});
             continue;
         }
-        std::string mate = std::move(it->second);
+        PendingRead mate = std::move(it->second);
         r->pending.erase(it);
         if ((int)seq.size() < r->min_read_size ||
-            (int)mate.size() < r->min_read_size)
+            (int)mate.seq.size() < r->min_read_size)
             continue;
         // pack: row 2*np = second occurrence (seq1), row 2*np+1 = stored
         uint8_t* row1 = codes + (2 * np) * L;
         uint8_t* row2 = codes + (2 * np + 1) * L;
         int64_t n1 = std::min<int64_t>(seq.size(), L);
-        int64_t n2 = std::min<int64_t>(mate.size(), L);
+        int64_t n2 = std::min<int64_t>(mate.seq.size(), L);
         for (int64_t i = 0; i < n1; ++i)
             row1[i] = kBaseLut[(uint8_t)seq[i]];
         for (int64_t i = 0; i < n2; ++i)
-            row2[i] = kBaseLut[(uint8_t)mate[i]];
+            row2[i] = kBaseLut[(uint8_t)mate.seq[i]];
         rlen[2 * np] = (int32_t)n1;
         rlen[2 * np + 1] = (int32_t)n2;
+        if (quals) {
+            memcpy(quals + (2 * np) * L, qual.data(),
+                   std::min<int64_t>(qual.size(), L));
+            memcpy(quals + (2 * np + 1) * L, mate.qual.data(),
+                   std::min<int64_t>(mate.qual.size(), L));
+        }
         if (titles_buf) {
             char* t = titles_buf + np * title_stride;
             int64_t tn = std::min<int64_t>(title.size(), title_stride - 1);
@@ -138,6 +154,13 @@ int64_t dtk_reader_next_batch(void* rp, uint8_t* codes, int32_t* rlen,
         ++np;
     }
     return np;
+}
+
+int64_t dtk_reader_next_batch(void* rp, uint8_t* codes, int32_t* rlen,
+                              int64_t P, int64_t L, char* titles_buf,
+                              int64_t title_stride) {
+    return dtk_reader_next_batch_q(rp, codes, rlen, nullptr, P, L,
+                                   titles_buf, title_stride);
 }
 
 void dtk_reader_close(void* rp) {

@@ -54,3 +54,46 @@ def test_checkpoint_resume(golden_dir, tmp_path):
     nm = np.asarray(r2.state["nmapread"])[:-1] + r2.host.nmapread
     nm_w = np.asarray(full.state["nmapread"])[:-1] + full.host.nmapread
     np.testing.assert_array_equal(nm, nm_w)
+
+
+def test_prefilter_checkpoint_resume(golden_dir, tmp_path):
+    """Prefilter path (the production WGS configuration) can checkpoint:
+    the survivor repack buffer is persisted with the cursor, so an
+    interrupted prefilter run resumes to identical counts."""
+    cfg = AlignConfig(ksize=21, cth=20, n_filter=4, nm_filter=1, okam=False)
+    reads = os.path.join(golden_dir, "reads.fa")
+    ck = str(tmp_path / "pf.ckpt")
+
+    full = DeviceAlignRunner(RPGG(os.path.join(golden_dir, "pan")), cfg,
+                             batch_pairs=256, max_read_len=192)
+    full.run_file_native(reads, prefilter=True)
+    want = full.flat_counts()
+
+    class Stop(Exception):
+        pass
+
+    r1 = DeviceAlignRunner(RPGG(os.path.join(golden_dir, "pan")), cfg,
+                           batch_pairs=256, max_read_len=192)
+    n = {"c": 0}
+    orig = r1.step
+
+    def bomb(*a, **kw):
+        if n["c"] >= 6:
+            raise Stop()
+        n["c"] += 1
+        return orig(*a, **kw)
+
+    r1.step = bomb
+    with pytest.raises(Stop):
+        r1.run_file_native(reads, prefilter=True, checkpoint=ck,
+                           checkpoint_every=512)
+    assert os.path.exists(ck)
+
+    r2 = DeviceAlignRunner(RPGG(os.path.join(golden_dir, "pan")), cfg,
+                           batch_pairs=256, max_read_len=192)
+    r2.run_file_native(reads, prefilter=True, checkpoint=ck,
+                       checkpoint_every=512)
+    np.testing.assert_array_equal(r2.flat_counts(), want)
+    nm = np.asarray(r2.state["nmapread"])[:-1] + r2.host.nmapread
+    nm_w = np.asarray(full.state["nmapread"])[:-1] + full.host.nmapread
+    np.testing.assert_array_equal(nm, nm_w)
