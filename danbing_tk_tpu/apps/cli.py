@@ -63,6 +63,9 @@ def _cmd_align(args):
         al.write_aln(pref + ".aln")
     if cfg.output_bubbles:
         al.write_bubbles(pref + ".bub.kmdb")
+    if args.device:
+        print(f"referee pairs (host-oracle fallback): {al.n_referee}",
+              file=sys.stderr)
     print(f"align done -> {pref}", file=sys.stderr)
 
 

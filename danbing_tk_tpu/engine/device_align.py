@@ -235,6 +235,31 @@ def _oh_gather(values, idx, W):
             for c in range(C)]
 
 
+def _oh_scatter_bool(mask, idx, W):
+    """Permutation scatter via one-hot matmul: out[p, idx[p,e]] = mask[p,e].
+
+    idx must be a permutation of 0..W-1 per row (each output receives
+    exactly one product, so bf16 one-hot x {0,1} is exact)."""
+    oh = jax.nn.one_hot(idx, W, dtype=jnp.bfloat16)          # (P, E, W)
+    out = jnp.einsum("pew,pe->pw", oh, mask.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    return out > 0.5
+
+
+def _seg_bcast(val_at_start, segnew, fill):
+    """Forward-fill the value at each segment start across its segment
+    (log-depth segmented scan; positions before the first start -> fill)."""
+    v0 = jnp.where(segnew, val_at_start, fill)
+
+    def comb(a, b):
+        s_a, v_a = a
+        s_b, v_b = b
+        return s_a | s_b, jnp.where(s_b, v_b, v_a)
+
+    _, out = jax.lax.associative_scan(comb, (segnew, v0), axis=-1)
+    return out
+
+
 def _range_sum(x, start, end_excl):
     """Sum of x over [start, end_excl) per row via prefix-sum gathers;
     start/end are (..., W) index arrays (end may be W -> use inclusive
@@ -530,14 +555,17 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
         evalid_exp = eidx < jnp.minimum(total, E)[:, None]
         # gather run stats at covering-run positions: one one-hot matmul;
         # rval (u32) and starts ride as exact 16-bit halves
-        e_rv_lo, e_rv_hi, e_st_lo, e_st_hi, e_f0, e_r0 = _oh_gather(
-            [(rval & 0xFFFF).astype(jnp.int32),
-             (rval >> 16).astype(jnp.int32),
-             starts & 0xFFFF, starts >> 16, fcnt, rcnt],
-            erun, W)
+        e_rv_lo, e_rv_hi, e_st_lo, e_st_hi, e_f0, e_r0, e_nm_lo, e_nm_hi = \
+            _oh_gather(
+                [(rval & 0xFFFF).astype(jnp.int32),
+                 (rval >> 16).astype(jnp.int32),
+                 starts & 0xFFFF, starts >> 16, fcnt, rcnt,
+                 nmapped & 0xFFFF, nmapped >> 16],
+                erun, W)
         e_rval = (e_rv_hi.astype(jnp.uint32) << 16) | \
             e_rv_lo.astype(jnp.uint32)
         e_starts = (e_st_hi << 16) | e_st_lo
+        e_nm = (e_nm_hi << 16) | e_nm_lo          # run's nmappedloci
         e_off = eidx - e_starts
         e_odd = (e_rval & 1) == 1
         vv_pos = jnp.clip((e_rval >> 1).astype(jnp.int32) + 1 + e_off, 0,
@@ -554,9 +582,16 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
                     state['stats'].dtype))
             return s2, dict(x=s2['stats'][0])
         # per-(pair, locus) totals: in-row sort + prefix-sum differences at
-        # segment starts (scatter-free)
-        g_loc, g_f, g_r = jax.lax.sort(
-            (e_locus, e_f, e_r), dimension=-1, num_keys=1)
+        # segment starts (scatter-free).  Secondary key -nmapped puts each
+        # locus segment's max-nmapped slot FIRST (its last event in the
+        # reference's nmapped-ascending scan, needed for the tie-break);
+        # g_src tracks the expansion slot for the scatter back.
+        e_nm_mask = jnp.where(evalid_exp, e_nm, 0)
+        g_loc, g_negnm, g_f, g_r, g_src = jax.lax.sort(
+            (e_locus, -e_nm_mask, e_f, e_r,
+             jnp.broadcast_to(eidx, (P, E))),
+            dimension=-1, num_keys=2)
+        g_nm = -g_negnm
         g_valid = g_loc != NAN32
         segnew = g_valid & jnp.concatenate(
             [jnp.ones((P, 1), bool), g_loc[:, 1:] != g_loc[:, :-1]], axis=1)
@@ -591,11 +626,67 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
         top_r = _take_rows(seg_r, top_seg)
         has_entries = segnew.any(axis=-1)
 
+        tie = (n_top > 1) & has_entries
+
+        # ---- scan-order tie resolution (updatetop2 semantics) ----
+        # The reference's winner among full-total-tied loci is the FIRST
+        # to reach the max during the nmapped-ascending entry scan
+        # (updatetop2, aQueryFasta_thread.cpp:331-347) == the tied locus
+        # whose LAST contributing entry is earliest in scan order.  Scan
+        # order is (nmappedloci asc, libstdc++-introsort tie order among
+        # equal nmapped, vv position).  The introsort tie order is host
+        # territory, but most ties are invariant to it:
+        #   * the tied locus with the strictly smallest max-nmapped wins
+        #     outright (all its events precede the others' last events);
+        #   * when several tied loci share the same max-nmapped level m,
+        #     the winner is decided iff every m-level run containing a
+        #     candidate contains ALL candidates (identical run sets) with
+        #     a consistent first-candidate (vv order) across those runs.
+        # Anything else (plus expansion overflow and the test2 boundary,
+        # whose partial catch-up sums are path-dependent) still referees.
+        BIGI = jnp.int32(0x7FFFFFF0)
+        seg_nm = jnp.where(segnew, g_nm, 0)       # max nm leads each seg
+        m_lvl = jnp.min(jnp.where(is_top, seg_nm, BIGI), axis=-1,
+                        keepdims=True)            # (P,1)
+        cand_seg = is_top & (seg_nm == m_lvl)
+        nC = jnp.sum(cand_seg, axis=-1)           # (P,)
+        winner1 = jnp.min(
+            jnp.where(cand_seg, g_loc, NAN32), axis=-1)
+
+        # slots of candidate loci at their max level m: broadcast the
+        # candidate flag across each segment, mark nm == m slots
+        g_cand = (_seg_bcast(cand_seg, segnew, False)
+                  & (g_nm == m_lvl) & g_valid)
+        e_cand = _oh_scatter_bool(g_cand, g_src, E)
+        # per-run candidate census via prefix sums over expansion slots
+        ccum = jnp.concatenate(
+            [jnp.zeros((P, 1), jnp.int32),
+             jnp.cumsum(e_cand.astype(jnp.int32), axis=-1)], axis=-1)
+        run_end = jnp.minimum(e_starts + e_nm, E)
+        c_start, = _oh_gather([ccum], jnp.clip(e_starts, 0, E), E + 1)
+        c_end, = _oh_gather([ccum], run_end, E + 1)
+        ccr = c_end - c_start                     # candidates in my run
+        c_before = ccum[:, :-1] - c_start         # candidates before me
+        firstflag = e_cand & (c_before == 0)
+        ok_counts = ~jnp.any(e_cand & (ccr != nC[:, None]), axis=-1)
+        floc_min = jnp.min(jnp.where(firstflag, e_locus, NAN32), axis=-1)
+        floc_max = jnp.max(jnp.where(firstflag, e_locus, 0), axis=-1)
+        multi_ok = ok_counts & (floc_min == floc_max) & (floc_min != NAN32)
+        tie_res = tie & jnp.where(nC == 1, True, multi_ok)
+        win_loc = jnp.where(nC == 1, winner1, floc_min)
+
+        # winner's own fwd/rev split feeds the accept tests
+        wseg = _first_true_idx(segnew & (g_loc == win_loc[:, None]))
+        use_win = tie & tie_res
+        top_loc = jnp.where(use_win, win_loc, top_loc)
+        top_f = jnp.where(use_win, _take_rows(seg_f, wseg), top_f)
+        top_r = jnp.where(use_win, _take_rows(seg_r, wseg), top_r)
+
         test1 = (top_f >= cth) & (top_r >= cth)
         test2 = (top_f + top_r) >= 2 * cth
         vote_pass = (test1 | test2) & has_entries & pair_kf
-        tie = (n_top > 1) & has_entries
-        referee = pair_kf & (tie | overflow | (~test1 & test2))
+        referee = pair_kf & ((tie & ~tie_res) | overflow
+                             | (~test1 & test2))
 
         dst0 = jnp.where(has_entries, top_loc, NAN32)
         hf = (pair_kf & ~vote_pass & ~referee)[:, None].repeat(2, 1)
