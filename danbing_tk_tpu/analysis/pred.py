@@ -62,8 +62,18 @@ def bias_correction_np(gt: np.ndarray, nk_cum, nik_cum, iki, ikc):
         ikmc = ikc[isi:iei].astype(np.float32)
         B = gt[:, ikis] / ikmc[None, :]
         bias = B.mean(axis=1, dtype=np.float32)
-        bias = bias / bias.mean(dtype=np.float32)
-        gt[:, si:ei] = gt[:, si:ei] / bias[:, None]
+        m = bias.mean(dtype=np.float32)
+        if m == 0.0:
+            # no sample has any invariant-kmer coverage at this locus:
+            # the reference (pred.cpp, Eigen) would divide by zero and
+            # poison the locus with NaN/inf; we pin the semantics to
+            # "skip" (counts untouched, bias row stays 0) instead.
+            continue
+        bias = bias / m
+        with np.errstate(divide="ignore"):
+            # a single zero-bias sample still yields inf for that
+            # sample's columns, matching the reference's arithmetic
+            gt[:, si:ei] = gt[:, si:ei] / bias[:, None]
         bias_mat[:, tri] = bias
     return bias_mat
 
@@ -92,13 +102,16 @@ def bias_correction_jax(gt, nk_cum, nik_cum, iki, ikc):
     sums = jnp.zeros((ns, n_tr), jnp.float32).at[:, ik_locus].add(ratios)
     denom = jnp.asarray(np.maximum(nik_per, 1), jnp.float32)
     bias = sums / denom[None, :]                   # (ns, n_tr)
-    # normalize each locus's bias vector to mean 1 over samples
-    bias = bias / jnp.where(jnp.asarray(has_ik)[None, :],
-                            bias.mean(axis=0, keepdims=True), 1.0)
-    div = jnp.where(jnp.asarray(has_ik)[col_locus][None, :],
+    # normalize each locus's bias vector to mean 1 over samples; a
+    # zero-mean locus (no invariant coverage anywhere) is skipped
+    # entirely, matching bias_correction_np's pinned semantics
+    mean_bias = bias.mean(axis=0, keepdims=True)
+    active = jnp.asarray(has_ik)[None, :] & (mean_bias != 0.0)
+    bias = bias / jnp.where(active, mean_bias, 1.0)
+    div = jnp.where(active[0][col_locus][None, :],
                     bias[:, col_locus], 1.0)
     corrected = gt / div
-    bias_out = jnp.where(jnp.asarray(has_ik)[None, :], bias, 0.0)
+    bias_out = jnp.where(active, bias, 0.0)
     return corrected, bias_out
 
 

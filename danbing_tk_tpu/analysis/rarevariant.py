@@ -1,5 +1,6 @@
 """Rare-variant (novel bubble) caller: danbing.call.py equivalent
-(reference script/danbing.call.py).
+(capability of reference script/danbing.call.py; behavior matched via
+the synthetic end-to-end test, structure re-derived).
 
 Two-stage filtering of novel (k+1)-mer bubbles from align's .bub output:
   1. snarl finding from TR-anchored roots (analysis/bubblecalling) +
@@ -9,7 +10,8 @@ Two-stage filtering of novel (k+1)-mer bubbles from align's .bub output:
 
 SVM models are sklearn classifiers (pickles, as in the reference);
 models/svm.py provides training helpers since the reference ships only
-pretrained release assets.
+pretrained release assets.  Feature-column names (c_root, bbs, ...) are
+part of the model contract and kept verbatim.
 """
 
 from __future__ import annotations
@@ -22,54 +24,54 @@ from ..ops.kmers_np import decode_kmer
 from . import bubblecalling as bc
 
 
-def load_tr_kmc(kmers_fn: str, index_fn: str, ntr_autosome: int | None =
+def load_tr_kmc(kmers_fn: str, index_fn: str, n_autosomal: int | None =
                 None, sex: int = 2):
-    """canonical TR kmer -> count per locus, counts from the count-only
-    align output, kmer names from the index file."""
-    tr2trk2c = {}
-    with open(index_fn) as f0, open(kmers_fn) as f1:
-        tri = -1
-        for line in f0:
+    """Per-locus {canonical TR kmer: count}: counts from the count-only
+    align output, kmer names from the index file (row-aligned)."""
+    counts_by_locus = {}
+    with open(index_fn) as index_f, open(kmers_fn) as counts_f:
+        locus = -1
+        for line in index_f:
             if line[0] == ">":
-                tri += 1
-                if ntr_autosome is not None and sex == 1 and \
-                        tri >= ntr_autosome:
+                locus += 1
+                if n_autosomal is not None and sex == 1 and \
+                        locus >= n_autosomal:
                     break
-                tr2trk2c[tri] = {}
+                counts_by_locus[locus] = {}
             else:
-                km = int(line.split()[0])
-                tr2trk2c[tri][km] = int(f1.readline())
-    return tr2trk2c
+                kmer = int(line.split()[0])
+                counts_by_locus[locus][kmer] = int(counts_f.readline())
+    return counts_by_locus
 
 
-def load_bubbles(fn: str, ntr_autosome: int | None = None, sex: int = 2):
-    """locus -> {canonical (k+1)-mer: count} from the .bub text output."""
-    bub = {}
-    k2c = {}
-    tri = -1
+def load_bubbles(fn: str, n_autosomal: int | None = None, sex: int = 2):
+    """Per-locus {canonical (k+1)-mer edge: count} from .bub output
+    (forward/RC rows of one edge merge into its canonical form)."""
+    by_locus = {}
+    edge_counts = {}
+    locus = -1
     with open(fn) as f:
         for line in f:
             if line[0] == ">":
-                if tri >= 0 and k2c:
-                    bub[tri] = k2c
-                tri += 1
-                if ntr_autosome is not None and sex == 1 and \
-                        tri >= ntr_autosome:
-                    k2c = {}
+                if locus >= 0 and edge_counts:
+                    by_locus[locus] = edge_counts
+                locus += 1
+                edge_counts = {}
+                if n_autosomal is not None and sex == 1 and \
+                        locus >= n_autosomal:
                     break
-                k2c = {}
             else:
-                km, ct = (int(v) for v in line.split())
-                ce = bc.e2ce(km)
-                k2c[ce] = k2c.get(ce, 0) + ct
-    if k2c:
-        bub[tri] = k2c
-    return bub
+                edge, count = (int(v) for v in line.split())
+                ce = bc.e2ce(edge)
+                edge_counts[ce] = edge_counts.get(ce, 0) + count
+    if edge_counts:
+        by_locus[locus] = edge_counts
+    return by_locus
 
 
 def seq_entropy(seq: str, k: int = 1) -> float:
-    n = 4 ** k
-    counts = np.zeros(n)
+    """Shannon entropy of the k-mer composition of seq."""
+    counts = np.zeros(4 ** k)
     for i in range(len(seq) - k + 1):
         v = 0
         for c in seq[i : i + k]:
@@ -80,265 +82,288 @@ def seq_entropy(seq: str, k: int = 1) -> float:
     return float(-(p * np.log2(p)).sum())
 
 
-class BubbleRoots:
-    def __init__(self, ntr: int):
-        self.crt = []
-        self.cne = []
-        self.cee = []
-        self.cte = []
-        self.rnr = []
-        self.rne = []
-        self.ncb = []
-        self.ntm = []
-        self.nbe = []
-        self.h1 = []
-        self.h2 = []
-        self.h3 = []
-        self.es = []
-        self.cts = []
-        self.bi2ei = []
-        self.tri2bei = np.zeros(ntr, dtype=int)
+# stage-1 SVM feature columns (model contract — names fixed)
+_ROOT_COLS = ("c_root", "c_nv_e", "c_ex_e", "c_tm_e", "r_nve_r",
+              "r_nve_exe", "n_snrl", "n_tm_e", "n_bb_e", "h1", "h2", "h3")
+
+
+class SnarlTable:
+    """Flat store of candidate bubbles found by the snarl walk.
+
+    One row per surviving bubble: feature columns in ``cols`` (keyed by
+    the SVM model's column names), the concatenated alive-path edges in
+    ``edges``/``edge_covs`` with per-bubble prefix ends ``bubble_ends``,
+    and per-locus prefix ends ``locus_ends`` over the rows.  The first
+    edge of each bubble's slice is its root edge (stage 2 relies on
+    that).
+    """
+
+    def __init__(self, nloci: int):
+        self.cols = {name: [] for name in _ROOT_COLS}
+        self.edges: list[int] = []
+        self.edge_covs: list[int] = []
+        self.bubble_ends: list[int] = []
+        self.locus_ends = np.zeros(nloci, dtype=int)
 
     def feature_matrix(self):
         import pandas as pd
 
-        df = pd.DataFrame()
-        df["c_root"] = self.crt
-        df["c_nv_e"] = self.cne
-        df["c_ex_e"] = self.cee
-        df["c_tm_e"] = self.cte
-        df["r_nve_r"] = self.rnr
-        df["r_nve_exe"] = self.rne
-        df["n_snrl"] = self.ncb
-        df["n_tm_e"] = self.ntm
-        df["n_bb_e"] = self.nbe
-        df["h1"] = self.h1
-        df["h2"] = self.h2
-        df["h3"] = self.h3
-        return df
+        return pd.DataFrame({name: vals for name, vals
+                             in self.cols.items()})
+
+    def bubble_slice(self, bi: int):
+        lo = self.bubble_ends[bi - 1] if bi else 0
+        return lo, self.bubble_ends[bi]
+
+    def locus_slice(self, locus: int):
+        lo = self.locus_ends[locus - 1] if locus else 0
+        return int(lo), int(self.locus_ends[locus])
 
 
-def find_tr_snarls(qcfilter, tri2trks, tri2ntrks, bub_kmc, tr_kmc, ntr: int,
-                   th_cne: int = 10, graph_size_limit: int = 10000):
-    br = BubbleRoots(ntr)
-    for tri in bub_kmc:
-        if not qcfilter[tri] or len(bub_kmc[tri]) > graph_size_limit:
-            br.tri2bei[tri] = len(br.cne)
+def find_tr_snarls(qcfilter, locus_trks, locus_ntrks, bub_kmc, tr_kmc,
+                   nloci: int, th_cne: int = 10,
+                   graph_size_limit: int = 10000):
+    """Walk snarls from every TR-anchored root edge of every QC-passing
+    locus; collect per-bubble SVM features for the alive ones."""
+    table = SnarlTable(nloci)
+    col = table.cols
+    for locus in bub_kmc:
+        if not qcfilter[locus] or len(bub_kmc[locus]) > graph_size_limit:
+            table.locus_ends[locus] = len(col["c_nv_e"])
             continue
-        trks = tri2trks[tri]
-        ntrks = tri2ntrks[tri]
-        bk2c = bub_kmc[tri]
-        tk2c = tr_kmc[tri]
-        gf = bc.es2bigf(bk2c.keys())
+        trks = locus_trks[locus]
+        ntrks = locus_ntrks[locus]
+        bub_cov = bub_kmc[locus]
+        tr_cov = tr_kmc[locus]
+        graph = bc.build_edge_graph(bub_cov.keys())
         alive, dead = set(), set()
-        naes = []
-        for pa in gf:
-            if pa not in trks:
+        for node in graph:
+            if node not in trks:
                 continue
-            crt = tk2c[bc.k2ck(pa)]
-            cee = crt
-            cte = 0
-            ncb = 0
-            ntm = 0
-            rt = bc.Edge(None, None, pa)
-            _, edges = bc.decode_edges(gf, pa)
-            for edge in edges:
-                cne = bk2c[bc.e2ce(edge.e)]
-                if cne < th_cne:
-                    cee -= cne
-                    cte += cne
-                    ntm += 1
+            root_cov = tr_cov[bc.k2ck(node)]
+            # running per-root tallies, final values broadcast to every
+            # bubble rooted here once the node's arcs are exhausted
+            extant_cov = root_cov
+            trimmed_cov = 0
+            n_bubbles = 0
+            n_trimmed = 0
+            root = bc.Arc(None, None, node)
+            _, arcs = bc.arcs_from_node(graph, node)
+            for arc in arcs:
+                nv_cov = bub_cov[bc.e2ce(arc.edge)]
+                if nv_cov < th_cne:
+                    extant_cov -= nv_cov
+                    trimmed_cov += nv_cov
+                    n_trimmed += 1
                     continue
-                alive_e = bc.check_bubble_root_edge(
-                    rt, edge, gf, trks, ntrks, alive, dead)
-                naes.append(len(alive_e))
-                e_ = edge.e
-                if edge.a:
-                    cee -= cne
-                    seq = decode_kmer(e_, bc.ESIZE)
-                    ncb += 1
-                    br.crt.append(crt)
-                    br.cne.append(cne)
-                    br.rnr.append(cne / crt)
-                    br.nbe.append(naes[-1])
-                    br.h1.append(seq_entropy(seq, 1))
-                    br.h2.append(seq_entropy(seq, 2))
-                    br.h3.append(seq_entropy(seq, 3))
-                    es = [e_] + [e for e in alive_e if e != e_]
-                    br.es += es
-                    br.cts += [bk2c[bc.e2ce(e)] for e in es]
-                    br.bi2ei.append(len(br.es))
+                alive_path = bc.check_bubble_root_edge(
+                    root, arc, graph, trks, ntrks, alive, dead)
+                if arc.alive:
+                    extant_cov -= nv_cov
+                    seq = decode_kmer(arc.edge, bc.ESIZE)
+                    n_bubbles += 1
+                    col["c_root"].append(root_cov)
+                    col["c_nv_e"].append(nv_cov)
+                    col["r_nve_r"].append(nv_cov / root_cov)
+                    col["n_bb_e"].append(len(alive_path))
+                    col["h1"].append(seq_entropy(seq, 1))
+                    col["h2"].append(seq_entropy(seq, 2))
+                    col["h3"].append(seq_entropy(seq, 3))
+                    path = [arc.edge] + [e for e in alive_path
+                                         if e != arc.edge]
+                    table.edges += path
+                    table.edge_covs += [bub_cov[bc.e2ce(e)]
+                                        for e in path]
+                    table.bubble_ends.append(len(table.edges))
                 else:
-                    cte_ = bk2c[bc.e2ce(e_)]
-                    cee -= cte_
-                    cte += cte_
-                    ntm += 1
-            if ncb:
-                for i in range(ncb):
-                    br.cee.append(cee)
-                    br.cte.append(cte)
-                    br.rne.append(br.cne[-ncb + i] / (cee + 1))
-                    br.ncb.append(ncb)
-                    br.ntm.append(ntm)
-        br.tri2bei[tri] = len(br.cne)
-    return br
+                    dead_cov = bub_cov[bc.e2ce(arc.edge)]
+                    extant_cov -= dead_cov
+                    trimmed_cov += dead_cov
+                    n_trimmed += 1
+            for i in range(n_bubbles):
+                col["c_ex_e"].append(extant_cov)
+                col["c_tm_e"].append(trimmed_cov)
+                col["r_nve_exe"].append(
+                    col["c_nv_e"][-n_bubbles + i] / (extant_cov + 1))
+                col["n_snrl"].append(n_bubbles)
+                col["n_tm_e"].append(n_trimmed)
+        table.locus_ends[locus] = len(col["c_nv_e"])
+    return table
 
 
-def br_svm_filter(br: BubbleRoots, model_fn: str, th: int):
-    df = br.feature_matrix()
-    br.cts = np.array(br.cts)
-    m0 = (df["c_nv_e"] > th).to_numpy()
-    if not m0.any():
+def br_svm_filter(table: SnarlTable, model_fn: str, th: int):
+    """Stage-1 SVM over bubble-root features; returns (df, indices of
+    accepted bubbles)."""
+    df = table.feature_matrix()
+    table.edge_covs = np.array(table.edge_covs)
+    coarse = (df["c_nv_e"] > th).to_numpy()
+    if not coarse.any():
         return df, np.array([], dtype=int)
     with open(model_fn, "rb") as f:
         clf = pickle.load(f)
-    yh = clf.predict(df[m0])
-    return df, np.nonzero(m0)[0][yh.astype(bool)]
+    accept = clf.predict(df[coarse])
+    return df, np.nonzero(coarse)[0][accept.astype(bool)]
 
 
-def filter_bubble_edges(vbis, br: BubbleRoots, ntr: int, th1: int, th2: int,
-                        th3: int):
-    vbis_s = set(vbis.tolist())
-    tri2ves = {}
-    for tri in range(ntr):
-        es_ar = np.array([], dtype=np.int64)
-        ct_ar = np.array([], dtype=np.int64)
-        tcmin, fcmax = 99999, 0
-        valid = False
-        bsi = br.tri2bei[tri - 1] if tri else 0
-        bei = br.tri2bei[tri]
-        for bi in range(bsi, bei):
-            esi = br.bi2ei[bi - 1] if bi else 0
-            eei = br.bi2ei[bi]
-            c = br.cts[esi]
-            if bi in vbis_s:
-                valid = True
-                tcmin = min(tcmin, c)
-                es_ar = np.concatenate((es_ar, br.es[esi:eei]))
-                ct_ar = np.concatenate((ct_ar, br.cts[esi:eei]))
+def filter_bubble_edges(accepted, table: SnarlTable, nloci: int,
+                        th1: int, th2: int, th3: int):
+    """Per-locus heuristic coverage filter: keep edges of SVM-accepted
+    bubbles whose coverage clears a threshold derived from the gap
+    between accepted-root and rejected-root coverages."""
+    accepted_set = set(accepted.tolist())
+    kept_by_locus = {}
+    all_edges = np.asarray(table.edges, dtype=np.int64)
+    all_covs = np.asarray(table.edge_covs, dtype=np.int64)
+    for locus in range(nloci):
+        first_bi, last_bi = table.locus_slice(locus)
+        edges = np.array([], dtype=np.int64)
+        covs = np.array([], dtype=np.int64)
+        true_cov_min, false_cov_max = 99999, 0
+        any_accepted = False
+        for bi in range(first_bi, last_bi):
+            lo, hi = table.bubble_slice(bi)
+            root_cov = all_covs[lo]  # first edge of the slice = root
+            if bi in accepted_set:
+                any_accepted = True
+                true_cov_min = min(true_cov_min, root_cov)
+                edges = np.concatenate((edges, all_edges[lo:hi]))
+                covs = np.concatenate((covs, all_covs[lo:hi]))
             else:
-                fcmax = max(fcmax, c)
-        if not valid:
+                false_cov_max = max(false_cov_max, root_cov)
+        if not any_accepted:
             continue
-        th = max(th2, fcmax) if tcmin - fcmax > th3 else max(th2,
-                                                            tcmin - th1)
-        mask = ct_ar > th
-        if not mask.any():
+        if true_cov_min - false_cov_max > th3:
+            th = max(th2, false_cov_max)
+        else:
+            th = max(th2, true_cov_min - th1)
+        keep = covs > th
+        if not keep.any():
             continue
-        es_ar, ct_ar = es_ar[mask], ct_ar[mask]
-        e2c = {}
-        for e_f, c in zip(es_ar.tolist(), ct_ar.tolist()):
-            for e in (e_f, bc.rc(e_f, bc.ESIZE)):
-                e2c.setdefault(e, c)
-        tri2ves[tri] = (es_ar, e2c, fcmax)
-    return tri2ves
+        edges, covs = edges[keep], covs[keep]
+        cov_of = {}
+        for e_fwd, c in zip(edges.tolist(), covs.tolist()):
+            for e in (e_fwd, bc.rc(e_fwd, bc.ESIZE)):
+                cov_of.setdefault(e, c)
+        kept_by_locus[locus] = (edges, cov_of, false_cov_max)
+    return kept_by_locus
 
 
-def bubble_path_features(tri2ves, tri2trks, tri2ntrks):
+def _coverage_gaps(covs):
+    """Count adjacent coverage jumps >=3 and >=4 along a path."""
+    n3 = n4 = 0
+    prev = None
+    for c in covs:
+        if prev is not None:
+            gap = abs(c - prev)
+            if gap >= 3:
+                n3 += 1
+                if gap >= 4:
+                    n4 += 1
+        prev = c
+    return n3, n4
+
+
+def bubble_path_features(kept_by_locus, locus_trks, locus_ntrks):
+    """Re-walk snarls over only the kept edges (directed graph this
+    time) and emit stage-2 SVM features per surviving bubble path."""
     import pandas as pd
 
-    def count_ngap(cs):
-        n3, n4 = 0, 0
-        c_ = None
-        for c in cs:
-            if c_ is not None:
-                gp = abs(c - c_)
-                if gp >= 3:
-                    n3 += 1
-                    if gp >= 4:
-                        n4 += 1
-            c_ = c
-        return n3, n4
-
-    tribes = []
+    bubble_paths = []
     rows = []
-    for tri in sorted(tri2ves):
-        es_ar, e2c, fcmax = tri2ves[tri]
-        trks, ntrks = tri2trks[tri], tri2ntrks[tri]
-        gf = bc.es2bigf(es_ar, bi=False)
+    for locus in sorted(kept_by_locus):
+        edges, cov_of, false_cov_max = kept_by_locus[locus]
+        trks, ntrks = locus_trks[locus], locus_ntrks[locus]
+        graph = bc.build_edge_graph(edges, bi=False)
         alive, dead = set(), set()
-        alive_es = set()
-        bres = []
-        start = len(rows)
-        for pa in gf:
-            if pa not in trks:
+        alive_edges = set()
+        root_edges = []
+        first_row = len(rows)
+        for node in graph:
+            if node not in trks:
                 continue
-            rt = bc.Edge(None, None, pa)
-            _, edges = bc.decode_edges(gf, pa)
-            for edge in edges:
-                alive_e = bc.check_bubble_root_edge(
-                    rt, edge, gf, trks, ntrks, alive, dead)
-                if alive_e:
-                    cs = [e2c[e] for e in alive_e]
-                    n3, n4 = count_ngap(cs)
-                    rows.append([len(alive_e), np.mean(cs), np.std(cs),
-                                 fcmax, np.mean(cs) - fcmax, n3, n4, None])
-                    bres.append(edge.e)
-                    tribes.append([tri, alive_e])
-                    alive_es |= alive_e
-        for i, e in enumerate(bres):
-            rows[start + i][7] = bc.rc(e, bc.ESIZE) in alive_es
-    bdf = pd.DataFrame(rows, columns=["bbs", "mcov", "scov", "fcmax",
-                                      "cdiff", "n3gp", "n4gp", "bdir"])
-    return tribes, bdf
+            root = bc.Arc(None, None, node)
+            _, arcs = bc.arcs_from_node(graph, node)
+            for arc in arcs:
+                alive_path = bc.check_bubble_root_edge(
+                    root, arc, graph, trks, ntrks, alive, dead)
+                if alive_path:
+                    covs = [cov_of[e] for e in alive_path]
+                    n3, n4 = _coverage_gaps(covs)
+                    rows.append([len(alive_path), np.mean(covs),
+                                 np.std(covs), false_cov_max,
+                                 np.mean(covs) - false_cov_max,
+                                 n3, n4, None])
+                    root_edges.append(arc.edge)
+                    bubble_paths.append([locus, alive_path])
+                    alive_edges |= alive_path
+        # bidirectionality: was this bubble also reached via its RC?
+        for i, e in enumerate(root_edges):
+            rows[first_row + i][7] = bc.rc(e, bc.ESIZE) in alive_edges
+    path_df = pd.DataFrame(rows, columns=["bbs", "mcov", "scov", "fcmax",
+                                          "cdiff", "n3gp", "n4gp",
+                                          "bdir"])
+    return bubble_paths, path_df
 
 
-def bp_svm_filter(tribes, bdf, model_fn: str):
+def bp_svm_filter(bubble_paths, path_df, model_fn: str):
+    """Stage-2 SVM; returns locus -> [union edge set, per-bubble sets]."""
     with open(model_fn, "rb") as f:
         clf = pickle.load(f)
-    yh = clf.predict(bdf).astype(bool)
-    tri2vbes = {}
-    for keep, (tri, bes) in zip(yh, tribes):
+    accept = clf.predict(path_df).astype(bool)
+    calls = {}
+    for keep, (locus, edges) in zip(accept, bubble_paths):
         if not keep:
             continue
-        if tri not in tri2vbes:
-            tri2vbes[tri] = [set(bes), [bes]]
+        if locus not in calls:
+            calls[locus] = [set(edges), [edges]]
         else:
-            tri2vbes[tri][0] |= bes
-            tri2vbes[tri][1].append(bes)
-    for tri in tri2vbes:
-        tri2vbes[tri][0] |= {bc.rc(e, bc.ESIZE) for e in tri2vbes[tri][0]}
-    return tri2vbes
+            calls[locus][0] |= edges
+            calls[locus][1].append(edges)
+    for locus in calls:
+        calls[locus][0] |= {bc.rc(e, bc.ESIZE) for e in calls[locus][0]}
+    return calls
 
 
 def build_metadata(pref: str, qcfilter=None):
-    """Builds (qcfilter, tri2trks, tri2ntrks) from an RPGG's bidirectional
-    kset DBs (`ktools raava` outputs <pref>.bi_tr.kdb / .bi_fl.kdb) --
-    the reference ships this as an opaque pickle."""
+    """Builds (qcfilter, locus_trks, locus_ntrks) from an RPGG's
+    bidirectional kset DBs (`ktools raava` outputs <pref>.bi_tr.kdb /
+    .bi_fl.kdb) -- the reference ships this as an opaque pickle."""
     from ..io import binary as bio
 
     def load(path):
         index, ks = bio.read_kset_db(path)
         out = {}
         p = 0
-        for tri, n in enumerate(index.tolist()):
-            out[tri] = set(ks[p : p + n].tolist())
+        for locus, n in enumerate(index.tolist()):
+            out[locus] = set(ks[p : p + n].tolist())
             p += n
         return out
 
-    tri2trks = load(pref + ".bi_tr.kdb")
-    tri2ntrks = load(pref + ".bi_fl.kdb")
+    locus_trks = load(pref + ".bi_tr.kdb")
+    locus_ntrks = load(pref + ".bi_fl.kdb")
     if qcfilter is None:
-        qcfilter = np.ones(len(tri2trks), dtype=int)
-    return qcfilter, tri2trks, tri2ntrks
+        qcfilter = np.ones(len(locus_trks), dtype=int)
+    return qcfilter, locus_trks, locus_ntrks
 
 
-def call_rare_variants(qcfilter, tri2trks, tri2ntrks, tr_kmers_fn,
-                       tr_index_fn, bub_fn, br_svm_fn, bp_svm_fn, ntr,
+def call_rare_variants(qcfilter, locus_trks, locus_ntrks, tr_kmers_fn,
+                       tr_index_fn, bub_fn, br_svm_fn, bp_svm_fn, nloci,
                        th=10, th1=5, th2=2, th3=8,
                        graph_size_limit=10000):
-    """Full flow; returns tri2vbes (locus -> [edge set, per-bubble sets])."""
+    """Full flow; returns locus -> [edge set, per-bubble sets]."""
     tr_kmc = load_tr_kmc(tr_kmers_fn, tr_index_fn)
     bub_kmc = load_bubbles(bub_fn)
     if not bub_kmc:
         return {}
-    br = find_tr_snarls(qcfilter, tri2trks, tri2ntrks, bub_kmc, tr_kmc,
-                        ntr, th_cne=th, graph_size_limit=graph_size_limit)
-    _, vbis = br_svm_filter(br, br_svm_fn, th)
-    if vbis.size == 0:
+    table = find_tr_snarls(qcfilter, locus_trks, locus_ntrks, bub_kmc,
+                           tr_kmc, nloci, th_cne=th,
+                           graph_size_limit=graph_size_limit)
+    _, accepted = br_svm_filter(table, br_svm_fn, th)
+    if accepted.size == 0:
         return {}
-    tri2ves = filter_bubble_edges(vbis, br, ntr, th1, th2, th3)
-    if not tri2ves:
+    kept = filter_bubble_edges(accepted, table, nloci, th1, th2, th3)
+    if not kept:
         return {}
-    tribes, bdf = bubble_path_features(tri2ves, tri2trks, tri2ntrks)
-    return bp_svm_filter(tribes, bdf, bp_svm_fn)
+    bubble_paths, path_df = bubble_path_features(kept, locus_trks,
+                                                 locus_ntrks)
+    return bp_svm_filter(bubble_paths, path_df, bp_svm_fn)

@@ -1,93 +1,101 @@
-"""Liftover bed cleanup (liftbed.clean.py equivalent, reference
-script/liftbed.clean.py).
+"""Liftover bed cleanup (capability of reference script/liftbed.clean.py;
+behavior matched via golden tests, structure re-derived).
 
-Merges split liftover segments (<10kb gaps), drops multi-contig or
-off-major-chromosome mappings (majority vote >= 0.6 per contig), and tags
-strand consistency (1/-1/0)."""
+paftools liftover splits one reference TR region into several assembly
+segments.  This stitches them back together and QCs the mapping:
+
+  * segments of one region landing on ONE assembly contig are merged when
+    they overlap or sit within a 10 kb gap; anything else (multi-contig,
+    far-apart) invalidates the region
+  * each assembly contig gets a majority-vote chromosome (>= 60% of its
+    regions); regions lifted to an off-major chromosome are dropped
+  * surviving rows carry a strand-consistency tag: +1/-1 when every
+    merged segment agreed on strand, 0 on mixed strands
+"""
 
 from __future__ import annotations
 
-from collections import defaultdict
+from dataclasses import dataclass, field
 
 
-class _Dup:
-    __slots__ = ("dup", "valid", "asm", "regions", "start", "end", "strand")
+MERGE_GAP = 10_000
+MAJORITY = 0.6
 
-    def __init__(self):
-        self.dup = False
-        self.valid = True
-        self.asm = ""
-        self.regions = []
-        self.start = -1
-        self.end = -1
-        self.strand = []
+
+@dataclass
+class _LiftGroup:
+    """Merged liftover hull of one reference region on one contig."""
+    contig: str
+    lo: int
+    hi: int
+    strands: list = field(default_factory=list)
+    alive: bool = True
+
+    def absorb(self, contig: str, lo: int, hi: int, strand: str):
+        if not self.alive:
+            return
+        if contig != self.contig:
+            self.alive = False
+            return
+        if lo - self.hi <= 0 and hi - self.lo >= 0:   # overlap: take hull
+            self.lo = min(self.lo, lo)
+            self.hi = max(self.hi, hi)
+        elif 0 < lo - self.hi < MERGE_GAP:            # short gap rightward
+            self.hi = hi
+        elif 0 < self.lo - hi < MERGE_GAP:            # short gap leftward
+            self.lo = lo
+        else:
+            self.alive = False
+            return
+        self.strands.append(strand)
+
+
+def _region_key(name: str) -> str:
+    """Reference region id: first three '_'-fields of the bed name
+    (chrom_start_end)."""
+    return "_".join(name.split("_")[:3])
+
+
+def _chrom_of(name: str) -> str:
+    """Chromosome of the region id, 'chr' prefix stripped."""
+    return name.split("_")[0][3:]
 
 
 def liftbed_clean(rows, out):
     """rows: [(ctg, s, e, name, score, strand)] in sorted liftbed order;
     writes cleaned rows to the ``out`` stream."""
-    r2a: dict[str, _Dup] = {}
-    order: list[str] = []
-    for f1, f2, f3, f4, _, f6 in rows:
-        r = "_".join(f4.split("_")[:3])
-        f2, f3 = int(f2), int(f3)
-        if r not in r2a:
-            d = r2a[r] = _Dup()
-            order.append(r)
-            d.asm = f1
-            d.regions.append((f2, f3))
-            d.start = f2
-            d.end = f3
-            d.strand.append(f6)
+    groups: dict[str, _LiftGroup] = {}
+    for contig, lo, hi, name, _, strand in rows:
+        key = _region_key(name)
+        lo, hi = int(lo), int(hi)
+        g = groups.get(key)
+        if g is None:
+            groups[key] = _LiftGroup(contig, lo, hi, [strand])
         else:
-            d = r2a[r]
-            if not d.valid:
-                continue
-            if d.asm == f1:
-                d.dup = True
-                d1 = f2 - d.end
-                d2 = f3 - d.start
-                d3 = d.start - f3
-                if d1 <= 0 and d2 >= 0:
-                    d.start = min(d.start, f2)
-                    d.end = max(d.end, f3)
-                    d.regions.append((f2, f3))
-                    d.strand.append(f6)
-                elif 0 < d1 < 1e4:
-                    d.end = f3
-                    d.regions.append((f2, f3))
-                    d.strand.append(f6)
-                elif 0 < d3 < 1e4:
-                    d.start = f2
-                    d.regions.append((f2, f3))
-                    d.strand.append(f6)
-                else:
-                    d.valid = False
-            else:
-                d.valid = False
+            g.absorb(contig, lo, hi, strand)
 
-    a2ch: dict[str, dict[str, int]] = defaultdict(lambda: defaultdict(int))
-    for f1, _, _, f4, _, _ in rows:
-        a2ch[f1][f4.split("_")[0][3:]] += 1
-    a2mc = {}
-    for asm, chs in a2ch.items():
-        tc = sum(chs.values())
-        mch, mc = max(chs.items(), key=lambda kv: kv[1])
-        # replicate reference tie behavior: first max encountered wins
-        mc = 0
-        for ch, c in chs.items():
-            if c > mc:
-                mch, mc = ch, c
-        if mc / tc >= 0.6:
-            a2mc[asm] = mch
+    # majority chromosome per assembly contig (over ALL lifted rows);
+    # ties resolve to the first maximum in row order
+    votes: dict[str, dict[str, int]] = {}
+    for contig, _, _, name, _, _ in rows:
+        per = votes.setdefault(contig, {})
+        ch = _chrom_of(name)
+        per[ch] = per.get(ch, 0) + 1
+    major = {}
+    for contig, per in votes.items():
+        total = sum(per.values())
+        best_ch, best = None, 0
+        for ch, n in per.items():
+            if n > best:
+                best_ch, best = ch, n
+        if best / total >= MAJORITY:
+            major[contig] = best_ch
 
-    s2i = {"+": 1, "-": -1}
-    for r in order:
-        d = r2a[r]
-        rr = "\t".join(r.split("_"))
-        if d.valid and d.asm in a2mc:
-            ch = r.split("_")[0][3:]
-            if ch == a2mc[d.asm]:
-                strand = int(all(s == d.strand[0] for s in d.strand)) * \
-                    s2i[d.strand[0]]
-                out.write(f"{d.asm}\t{d.start}\t{d.end}\t{rr}\t{strand}\n")
+    sign = {"+": 1, "-": -1}
+    for key, g in groups.items():
+        if not (g.alive and major.get(g.contig) == key.split("_")[0][3:]):
+            continue
+        consistent = all(s == g.strands[0] for s in g.strands)
+        tag = int(consistent) * sign[g.strands[0]]
+        fields = "\t".join(key.split("_"))
+        out.write(f"{g.contig}\t{g.lo}\t{g.hi}\t{fields}\t{tag}\n")

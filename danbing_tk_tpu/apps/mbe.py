@@ -25,90 +25,122 @@ from ..ops import kmers_np as K
 INVALID = 0xFFFFFFFFFFFFFFFF
 
 
-def read2kmers_noshift(seq: str, k: int, leftflank: int = 0,
-                       rightflank: int = 0) -> np.ndarray:
-    """Canonical k-mers of seq[leftflank : len-rightflank] (positional,
+def window_kmers(seq: str, k: int, skip_left: int = 0,
+                 skip_right: int = 0) -> np.ndarray:
+    """Canonical k-mers of seq[skip_left : len-skip_right] (positional,
     INVALID on N windows)."""
-    codes = K.encode_bases(seq)[leftflank : len(seq) - rightflank]
+    codes = K.encode_bases(seq)[skip_left : len(seq) - skip_right]
     return K.seq_to_kmers(codes, k, canonical=True)
 
 
-def mbe_locus(seqs, poss, FS: int, UB: int, ksize: int = 21):
-    """Joint boundary expansion for one locus.
+class _KmerPool:
+    """Growing TR k-mer set as a sorted u64 array; membership tests are
+    vectorized searchsorted (the reference does per-element Python set
+    probes here — ~1200 CPU-hours at production scale)."""
 
-    seqs[hi]: TRWINDOW-padded sequence or None; poss[hi]: (s, e) TR span
-    within seqs[hi].  Returns (exp, fail list[bool], npos).
+    def __init__(self):
+        self._sorted = np.empty(0, dtype=np.uint64)
+        self._staged: list[np.ndarray] = []
+
+    def stage(self, kms: np.ndarray):
+        kms = kms[kms != INVALID]
+        if len(kms):
+            self._staged.append(kms)
+
+    def _flush(self):
+        if self._staged:
+            self._sorted = np.unique(
+                np.concatenate([self._sorted, *self._staged]))
+            self._staged = []
+
+    def contains(self, rows: np.ndarray) -> np.ndarray:
+        self._flush()
+        pool = self._sorted
+        if not len(pool):
+            return np.zeros(rows.shape, dtype=bool)
+        pos = np.searchsorted(pool, rows)
+        pos[pos == len(pool)] = 0
+        return pool[pos] == rows
+
+
+def mbe_locus(seqs, spans, FS: int, UB: int, ksize: int = 21):
+    """Joint boundary expansion for one locus (the reference flow,
+    multiBoundaryExpansion.parallel.py:79-167, re-derived: scan both
+    FS-wide flanks of every haplotype for k-mers already in the joint TR
+    pool; any hit pushes that boundary outward past it, the newly covered
+    windows join the pool, and the scan repeats until clean).
+
+    seqs[h]: TRWINDOW-padded sequence or None; spans[h]: (start, end) TR
+    span within seqs[h].  Returns (expanded, failed list[bool],
+    new_spans).  A haplotype fails when its window would cross the
+    sequence breakpoint or grow more than UB beyond the original span.
     """
-    nh = len(seqs)
-    trs = set()
-    npos = list(poss)
-    vi = [hi for hi, v in enumerate(poss) if v is not None]
-    for hi in vi:
-        s, e = npos[hi]
-        for km in read2kmers_noshift(seqs[hi], ksize, s,
-                                     len(seqs[hi]) - e):
-            if km != INVALID:
-                trs.add(int(km))
+    nhap = len(seqs)
+    cur = list(spans)
+    live = [h for h, sp in enumerate(spans) if sp is not None]
+    pool = _KmerPool()
+    for h in live:
+        start, end = cur[h]
+        pool.stage(window_kmers(seqs[h], ksize, start,
+                                len(seqs[h]) - end))
 
-    exp = False
-    dt = np.full((nh, 2), FS, dtype=int)
-    kmers = np.full((nh, 2, FS), INVALID, dtype="uint64")
-    fail = [False] * nh
+    LEFT, RIGHT = 0, 1
+    expanded = False
+    # moved[h, side]: windows newly exposed since the last scan (FS on
+    # the first round = fill the whole flank cache)
+    moved = np.full((nhap, 2), FS, dtype=int)
+    flank = np.full((nhap, 2, FS), INVALID, dtype=np.uint64)
+    failed = [False] * nhap
     while True:
-        noise = np.zeros((nh, 2, FS), dtype=int)
-        for hi in vi:
-            if fail[hi]:
+        tainted = np.zeros((nhap, 2, FS), dtype=bool)
+        for h in live:
+            if failed[h]:
                 continue
-            seq = seqs[hi]
-            sl = len(seq)
-            s, e = npos[hi]
-            lf = [s - FS, e + FS - dt[hi, 1] - ksize + 1]
-            rf = [sl - s + FS - dt[hi, 0] - ksize + 1, sl - e - FS]
-            if lf[0] < 0 or rf[1] < 0:  # TR near breakpoint
-                fail[hi] = True
+            seq = seqs[h]
+            n = len(seq)
+            start, end = cur[h]
+            if start - FS < 0 or end + FS > n:  # TR near breakpoint
+                failed[h] = True
                 continue
-            for sfl in (0, 1):
-                if dt[hi, sfl]:
-                    if sfl == 0:
-                        kmers[hi, sfl, dt[hi, sfl]:] = \
-                            kmers[hi, sfl, : FS - dt[hi, sfl]].copy()
-                        kmers[hi, sfl, : dt[hi, sfl]] = \
-                            read2kmers_noshift(seq, ksize, lf[0], rf[0])
-                    else:
-                        kmers[hi, sfl, : FS - dt[hi, sfl]] = \
-                            kmers[hi, sfl, dt[hi, sfl]:].copy()
-                        kmers[hi, sfl, FS - dt[hi, sfl]:] = \
-                            read2kmers_noshift(seq, ksize, lf[1], rf[1])
-                # vectorized membership vs the TR set
-                row = kmers[hi, sfl]
-                hit = np.fromiter(
-                    (int(x) in trs for x in row), dtype=bool, count=FS)
-                noise[hi, sfl] = hit
-        if not noise.any() or all(fail):
+            d0, d1 = moved[h, LEFT], moved[h, RIGHT]
+            if d0:
+                # left flank cache holds windows of [start-FS, start),
+                # outermost first; slide right, refill the exposed head
+                flank[h, LEFT, d0:] = flank[h, LEFT, : FS - d0].copy()
+                flank[h, LEFT, :d0] = window_kmers(
+                    seq, ksize, start - FS,
+                    n - (start - FS) - d0 - ksize + 1)
+            if d1:
+                # right flank holds windows of [end, end+FS); slide left,
+                # refill the exposed tail
+                flank[h, RIGHT, : FS - d1] = flank[h, RIGHT, d1:].copy()
+                flank[h, RIGHT, FS - d1:] = window_kmers(
+                    seq, ksize, end + FS - d1 - ksize + 1, n - end - FS)
+            tainted[h] = pool.contains(flank[h])
+        if not tainted.any() or all(failed):
             break
-        exp = True
-        dt = np.zeros((nh, 2), dtype=int)
-        for hi in vi:
-            if fail[hi]:
+        expanded = True
+        moved = np.zeros((nhap, 2), dtype=int)
+        for h in live:
+            if failed[h]:
                 continue
-            if noise[hi, 0].any():
-                dt[hi, 0] = FS - np.nonzero(noise[hi, 0])[0][0]
-                for km in kmers[hi, 0, -dt[hi, 0]:]:
-                    if km != INVALID:
-                        trs.add(int(km))
-            if noise[hi, 1].any():
-                dt[hi, 1] = np.nonzero(noise[hi, 1])[0][-1] + 1
-                for km in kmers[hi, 1, : dt[hi, 1]]:
-                    if km != INVALID:
-                        trs.add(int(km))
-            if noise[hi].any():
-                npos[hi] = (npos[hi][0] - dt[hi, 0], npos[hi][1] + dt[hi, 1])
-                if (poss[hi][0] - npos[hi][0] > UB
-                        or npos[hi][1] - poss[hi][1] > UB):
-                    fail[hi] = True
-        if all(fail):
+            hit_l, hit_r = tainted[h, LEFT], tainted[h, RIGHT]
+            if hit_l.any():
+                # expand left past the outermost contaminated window
+                moved[h, LEFT] = FS - np.nonzero(hit_l)[0][0]
+                pool.stage(flank[h, LEFT, FS - moved[h, LEFT]:])
+            if hit_r.any():
+                moved[h, RIGHT] = np.nonzero(hit_r)[0][-1] + 1
+                pool.stage(flank[h, RIGHT, : moved[h, RIGHT]])
+            if hit_l.any() or hit_r.any():
+                cur[h] = (cur[h][0] - moved[h, LEFT],
+                          cur[h][1] + moved[h, RIGHT])
+                if (spans[h][0] - cur[h][0] > UB
+                        or cur[h][1] - spans[h][1] > UB):
+                    failed[h] = True
+        if all(failed):
             break
-    return exp, fail, npos
+    return expanded, failed, cur
 
 
 class ExpStat:

@@ -20,63 +20,64 @@ import numpy as np
 
 
 def parse_merge_set(path: str):
-    ms: list = []
-    bs: set = set()
-    v2si: dict = {}
-    si = 0
-    with open(path) as f:
-        for line in f:
-            if line[0] == ">":
+    """Parse mbe.m0.loci collision groups into merge sets + a blacklist.
+
+    Each input line lists v1 loci whose expanded regions collided within
+    one haplotype; groups chain transitively across lines (lines sharing
+    members union into one set, lowest set id wins).  QC rules, matched
+    to the reference byte-for-byte:
+      * a NON-CONTIGUOUS group blacklists every member, and any existing
+        set a member belonged to is dissolved with ALL its loci banned;
+      * a group touching an already-banned locus is banned wholesale —
+        its members' old sets are dissolved WITHOUT banning bystander
+        members (reference behavior, preserved for compatibility).
+    Returns (surviving merge sets, blacklist).
+    """
+    sets: list[set | None] = []
+    owner: dict[int, int] = {}        # locus -> index into sets
+    banned: set[int] = set()
+
+    with open(path) as fh:
+        for line in fh:
+            if line.startswith(">"):
                 continue
-            seq = sorted(int(v) for v in line.rstrip().split(","))
-            skip = seq[0] in bs
-            bad = False
-            for i in range(1, len(seq)):
-                skip |= seq[i] in bs
-                if seq[i] != seq[i - 1] + 1:
-                    bad = True
-                    for v in seq:
-                        if v in v2si:
-                            si_ = v2si[v]
-                            if ms[si_] is not None:
-                                for v_ in ms[si_]:
-                                    bs.add(v_)
-                                ms[si_] = None
-                            v2si.pop(v)
-                        bs.add(v)
-                    break
-            if bad:
+            group = sorted(int(x) for x in line.rstrip().split(","))
+            contiguous = all(b == a + 1 for a, b in zip(group, group[1:]))
+            if not contiguous:
+                for locus in group:
+                    gi = owner.pop(locus, None)
+                    if gi is not None and sets[gi] is not None:
+                        banned.update(sets[gi])
+                        sets[gi] = None
+                    banned.add(locus)
                 continue
-            if skip:
-                for v in seq:
-                    bs.add(v)
-                    if v in v2si:
-                        ms[v2si[v]] = None
-                        v2si.pop(v)
+            if any(locus in banned for locus in group):
+                for locus in group:
+                    banned.add(locus)
+                    gi = owner.pop(locus, None)
+                    if gi is not None:
+                        sets[gi] = None
                 continue
-            sis = {v2si[v] for v in seq if v in v2si}
-            if not sis:
-                ms.append(set(seq))
-                for v in seq:
-                    v2si[v] = si
-                si += 1
+            touching = sorted({owner[x] for x in group if x in owner})
+            if not touching:
+                sets.append(set(group))
+                for locus in group:
+                    owner[locus] = len(sets) - 1
             else:
-                si_s = None
-                for si_i in sorted(sis):
-                    if si_s is None:
-                        si_s = si_i
-                    else:
-                        ms[si_s] |= ms[si_i]
-                        for v in ms[si_i]:
-                            v2si[v] = si_s
-                        ms[si_i] = None
-                ms[si_s] |= set(seq)
-                for v in seq:
-                    v2si[v] = si_s
-    ms = [m for m in ms if m is not None]
-    for m in ms:
-        assert not (m & bs)
-    return ms, bs
+                root = touching[0]
+                for gi in touching[1:]:
+                    sets[root] |= sets[gi]
+                    for locus in sets[gi]:
+                        owner[locus] = root
+                    sets[gi] = None
+                sets[root] |= set(group)
+                for locus in group:
+                    owner[locus] = root
+
+    alive = [s for s in sets if s is not None]
+    for s in alive:
+        assert not (s & banned)
+    return alive, banned
 
 
 def _getdist(bed):

@@ -49,7 +49,7 @@ def test_fuzz_vs_reference(ref_bc):
     ntested = 0
     for trial in range(60):
         edges, trks, ntrks = _random_case(rng)
-        gf_m = bc.es2bigf(edges)
+        gf_m = bc.build_edge_graph(edges)
         gf_r = ref_bc.es2bigf(list(edges))
         assert gf_m == gf_r
         alive_m, dead_m = set(), set()
@@ -57,18 +57,18 @@ def test_fuzz_vs_reference(ref_bc):
         for pa in gf_m:
             if pa not in trks:
                 continue
-            rt_m = bc.Edge(None, None, pa)
+            rt_m = bc.Arc(None, None, pa)
             rt_r = ref_bc.Edge(None, None, pa)
-            ne_m, es_m = bc.decode_edges(gf_m, pa)
+            ne_m, es_m = bc.arcs_from_node(gf_m, pa)
             ne_r, es_r = ref_bc.decode_edges(gf_r, pa)
-            assert [e.e for e in es_m] == [e.e for e in es_r]
+            assert [a.edge for a in es_m] == [e.e for e in es_r]
             for em, er in zip(es_m, es_r):
                 out_m = bc.check_bubble_root_edge(
                     rt_m, em, gf_m, trks, ntrks, alive_m, dead_m)
                 out_r = ref_bc.check_bubble_root_edge(
                     rt_r, er, gf_r, trks, ntrks, alive_r, dead_r)
                 assert out_m == out_r, (trial, pa)
-                assert em.a == er.a
+                assert em.alive == er.a
                 ntested += 1
         assert alive_m == alive_r and dead_m == dead_r, trial
     assert ntested > 100

@@ -89,3 +89,23 @@ def test_full_flow_io(golden_dir, tmp_path):
                   str(tmp_path / "bias2.tsv"), use_jax=True)
     corr2 = bio.read_gt_matrix(str(tmp_path / "corr2.gt"))
     np.testing.assert_allclose(corr2, corr, rtol=2e-5)
+
+
+def test_zero_mean_bias_locus_skipped():
+    """A locus whose invariant-kmer coverage is zero in EVERY sample is
+    skipped (counts untouched, bias row 0) instead of poisoning the
+    matrix with NaN/inf — pinned divergence from the reference's Eigen
+    divide-by-zero; numpy and JAX paths agree and neither warns."""
+    nk_cum, nik_cum, iki, ikc, gt = _toy()
+    gt = gt.copy()
+    gt[:, [0, 2]] = 0.0  # locus0's invariant kmers: zero everywhere
+    g = gt.copy()
+    with np.errstate(invalid="raise", divide="raise"):
+        bias = pred.bias_correction_np(g, nk_cum, nik_cum, iki, ikc)
+    assert (bias[:, 0] == 0).all()
+    np.testing.assert_array_equal(g[:, :3], gt[:, :3])
+    assert np.isfinite(g).all()
+    corr_jax, bias_jax = pred.bias_correction_jax(
+        gt.copy(), nk_cum, nik_cum, iki, ikc)
+    np.testing.assert_allclose(np.asarray(corr_jax), g, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(bias_jax), bias, rtol=1e-5)

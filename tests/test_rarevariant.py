@@ -46,14 +46,14 @@ def test_call_rare_variants(tmp_path):
 
     tri2vbes = rv.call_rare_variants(
         qcfilter=np.ones(1, dtype=int),
-        tri2trks={0: trks},
-        tri2ntrks={0: set()},
+        locus_trks={0: trks},
+        locus_ntrks={0: set()},
         tr_kmers_fn=str(tmp_path / "gt.kmers"),
         tr_index_fn=str(tmp_path / "index.kmers"),
         bub_fn=str(tmp_path / "gt.bub"),
         br_svm_fn=str(tmp_path / "br.svm"),
         bp_svm_fn=str(tmp_path / "bp.svm"),
-        ntr=1, th=10, th1=5, th2=2, th3=8)
+        nloci=1, th=10, th1=5, th2=2, th3=8)
     assert 0 in tri2vbes
     called = tri2vbes[0][0]
     # every novel edge (or its RC) should be in the callset

@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Synthetic production-scale RPGG built directly into device tables.
+
+The reference's production index is ~80k loci / ~1.2e9 k-mers
+(/root/reference/README.md:22).  Building that through the text formats
+and Python dicts is build-pipeline territory; for ENGINE benchmarking we
+need the same table shapes and hit statistics without the dict detour, so
+this constructs a DeviceRPGG straight from numpy:
+
+  * per-locus random TR sequences (2-bit codes), with locus FAMILIES
+    sharing identical sequences (=> shared k-mers => vv lists, the vote's
+    expansion load, like real motif sharing)
+  * canonical k-mers extracted with the same kernels the engine uses
+  * kmerDBi (keys/vals/vv) and the composite trfl slot table assembled
+    with sorts/uniques only — no per-key Python
+
+Read batches are sampled from the same sequence pool (PE fragments), so
+probes hit and the full vote/annotate/count path runs realistically.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from danbing_tk_tpu.engine.device_align import ANN_TR, DeviceRPGG  # noqa
+from danbing_tk_tpu.index import device_table as dt  # noqa
+from danbing_tk_tpu.ops import kmers_np as K  # noqa
+
+
+def build_scale_rpgg(nloci: int = 80_000, kmers_per_locus: int = 1500,
+                     family_frac: float = 0.2, k: int = 21, seed: int = 9,
+                     with_trfl: bool = True, verbose: bool = True):
+    """Returns (drp: DeviceRPGG, seqs: (nloci, Ltr) u8 codes)."""
+    def log(msg):
+        if verbose:
+            print(f"[scale-index] {msg}", file=sys.stderr)
+
+    rng = np.random.default_rng(seed)
+    Ltr = kmers_per_locus + k - 1
+    t0 = time.time()
+    seqs = rng.integers(0, 4, size=(nloci, Ltr), dtype=np.uint8)
+    # families: runs of 2-8 consecutive loci share a ~25% SEGMENT (motif-
+    # level sharing; fully duplicated loci would make every family read a
+    # cap-overflowing all-locus tie, which real RPGGs don't have — MBE
+    # merges true duplicates)
+    li = 0
+    fam_target = int(nloci * family_frac)
+    seg = max(Ltr // 4, k)
+    famed = 0
+    while famed < fam_target and li < nloci - 8:
+        size = int(rng.integers(2, 9))
+        beg = int(rng.integers(0, Ltr - seg))
+        seqs[li + 1 : li + size, beg : beg + seg] = seqs[li, beg : beg + seg]
+        famed += size
+        li += size + int(rng.integers(1, 20))
+    log(f"sequences {seqs.nbytes/1e6:.0f} MB in {time.time()-t0:.1f}s")
+
+    # canonical k-mers, all loci in one shot (interior windows only)
+    t0 = time.time()
+    kms = np.empty((nloci, kmers_per_locus), dtype=np.uint64)
+    chunk = max(1, int(2e8 // Ltr))
+    for s in range(0, nloci, chunk):
+        e = min(s + chunk, nloci)
+        block = seqs[s:e]
+        pad = np.full((e - s, k - 1), 255, dtype=np.uint8)
+        flat = np.concatenate([block, pad], axis=1).reshape(-1)
+        flat = np.concatenate([flat, np.full(k - 1, 255, np.uint8)])
+        allk = K.seq_to_kmers(flat, k, canonical=True)
+        allk = allk.reshape(e - s, Ltr + k - 1)[:, :kmers_per_locus]
+        kms[s:e] = allk
+    log(f"kmers extracted in {time.time()-t0:.1f}s")
+
+    # per-locus dedupe: sort within row, drop repeats (ragged flat form)
+    t0 = time.time()
+    kms.sort(axis=1)
+    keep = np.ones(kms.shape, dtype=bool)
+    keep[:, 1:] = kms[:, 1:] != kms[:, :-1]
+    loc_of = np.broadcast_to(
+        np.arange(nloci, dtype=np.uint32)[:, None], kms.shape)
+    flat_k = kms[keep]
+    flat_l = loc_of[keep].astype(np.uint32)
+    per_locus = keep.sum(axis=1).astype(np.int64)
+    offsets = np.zeros(nloci + 1, dtype=np.int64)
+    np.cumsum(per_locus, out=offsets[1:])
+    nslots = int(offsets[-1])
+    del kms, keep, loc_of
+    log(f"{nslots/1e6:.1f}M (kmer,locus) slots in {time.time()-t0:.1f}s")
+
+    # kmerDBi: unique kmers; shared ones get vv lists
+    t0 = time.time()
+    order = np.argsort(flat_k, kind="stable")
+    sk = flat_k[order]
+    sl = flat_l[order]
+    first = np.ones(len(sk), dtype=bool)
+    first[1:] = sk[1:] != sk[:-1]
+    grp = np.cumsum(first) - 1                     # group id per entry
+    counts = np.bincount(grp)
+    keys = sk[first]
+    nkeys = len(keys)
+    shared = counts > 1                            # per group
+    # vv layout: [n, loci...] per shared group, concatenated
+    vv_sizes = np.where(shared, counts + 1, 0)
+    vv_off = np.zeros(nkeys + 1, dtype=np.int64)
+    np.cumsum(vv_sizes, out=vv_off[1:])
+    vv = np.zeros(int(vv_off[-1]), dtype=np.uint32)
+    vv[vv_off[:-1][shared]] = counts[shared].astype(np.uint32)
+    # scatter loci: entry positions within group = rank since group start
+    grp_start = np.flatnonzero(first)
+    rank = np.arange(len(sk)) - grp_start[grp]
+    ent_shared = shared[grp]
+    dst = vv_off[:-1][grp] + 1 + rank
+    vv[dst[ent_shared]] = sl[ent_shared]
+    vals = np.where(
+        shared, (vv_off[:-1] << 1) | 1,
+        sl[grp_start].astype(np.int64) << 1).astype(np.uint32)
+    log(f"dbi {nkeys/1e6:.1f}M keys, vv {len(vv)/1e6:.1f}M "
+        f"in {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    dbi_tab = dt.build_bucket_table(keys, vals)
+    log(f"dbi table {dbi_tab.nbytes/1e9:.2f} GB "
+        f"({len(dbi_tab.levels)} levels) in {time.time()-t0:.1f}s")
+    del keys, vals, order, sk, sl, first, grp, counts
+
+    trfl_tab = None
+    if with_trfl:
+        # slot ids in trkmc flatten order (per-locus, sorted-kmer order)
+        t0 = time.time()
+        slots = np.arange(nslots, dtype=np.uint64)
+        tv = ((slots << np.uint64(3)) | np.uint64(ANN_TR)).astype(np.uint32)
+        trfl_tab = dt.build_bucket_table(flat_k, tv, flat_l)
+        log(f"trfl table {trfl_tab.nbytes/1e9:.2f} GB "
+            f"({len(trfl_tab.levels)} levels) in {time.time()-t0:.1f}s")
+    drp = DeviceRPGG(nloci, dbi_tab, vv, trfl_tab, None,
+                     offsets, nslots)
+    return drp, seqs
+
+
+def sample_read_batch(seqs, P: int, L: int, rng, frac_tr: float = 1.0,
+                      flen: int = 400):
+    """PE pairs from the locus pool (+ random background)."""
+    nloci, Ltr = seqs.shape
+    codes = np.full((2 * P, L), 255, dtype=np.uint8)
+    rlen = np.full(2 * P, L, dtype=np.int32)
+    is_tr = rng.random(P) < frac_tr
+    li = rng.integers(0, nloci, P)
+    beg = rng.integers(0, max(Ltr - flen, 1), P)
+    for i in range(P):
+        if is_tr[i]:
+            frag = seqs[li[i], beg[i] : beg[i] + flen]
+            r1 = frag[:L]
+            r2 = (3 - frag[-L:])[::-1]              # reverse complement
+        else:
+            r1 = rng.integers(0, 4, L, dtype=np.uint8)
+            r2 = rng.integers(0, 4, L, dtype=np.uint8)
+        codes[2 * i, : len(r1)] = r1
+        codes[2 * i + 1, : len(r2)] = r2
+        rlen[2 * i] = len(r1)
+        rlen[2 * i + 1] = len(r2)
+    return codes, rlen
