@@ -89,6 +89,18 @@ def _cmd_build_ref(args):
     print(pref)
 
 
+def _cmd_qc(args):
+    from ..pipeline.qc import run_qc_harness
+
+    produced = run_qc_harness(
+        args.indir, args.workdir, args.genomes.split(","), args.ref_genome,
+        ksize=args.k, cov=args.cov, min_ctg=args.min_ctg,
+        extract_cth=args.extract_cth, map_cth=args.map_cth,
+        use_device=args.device)
+    for name in sorted(produced):
+        print(name, "->", produced[name])
+
+
 def _cmd_serialize(args):
     from ..index.dbi import serialize
 
@@ -279,6 +291,23 @@ def main(argv=None):
     br.add_argument("--dist-merge", type=int, default=700)
     br.add_argument("-p", type=int, default=1)
     br.set_defaults(fn=_cmd_build_ref)
+
+    qc = sub.add_parser(
+        "qc", help="QC/bait-build harness: the fn1a->fn2a3 loop of the "
+        "reference's test/QC/*.sh (sim -> annotate -> extract -> raw map "
+        "-> profiles -> FPSkmer -> serialize-bt -> bait map)")
+    qc.add_argument("indir", help="dir with <g>.<h>.fa + serialized pan.*")
+    qc.add_argument("workdir")
+    qc.add_argument("genomes", help="comma-separated genome names")
+    qc.add_argument("ref_genome",
+                    help="negative-control genome defining the FP profile")
+    qc.add_argument("-k", type=int, default=21)
+    qc.add_argument("-c", "--cov", type=int, default=15)
+    qc.add_argument("-ml", "--min-ctg", type=int, default=500)
+    qc.add_argument("--extract-cth", type=int, default=5)
+    qc.add_argument("--map-cth", type=int, default=10)
+    qc.add_argument("--device", action="store_true")
+    qc.set_defaults(fn=_cmd_qc)
 
     s = sub.add_parser("serialize", help="ktools serialize equivalent")
     s.add_argument("pref")

@@ -99,7 +99,7 @@ def main():
     nrep = 20
     for _ in range(nrep):
         s, _ = probe_j(qlo ^ (s & 0), qhi, tabs)   # chain on s
-    jax.block_until_ready(s)
+    _ = int(s)   # host fetch: see full-step note below re tunnel acks
     dt_probe = time.time() - t0
     lookups = nrep * B * NKW / dt_probe
     print(f"# probe: {lookups:.3e} lookups/s (B={B} NKW={NKW}, "
@@ -128,7 +128,10 @@ def main():
     t0 = time.time()
     for _ in range(nsteps):
         state, out = step(state, codes, rlen, live)
-    jax.block_until_ready((state["counts"], out["vote_pass"]))
+    # host scalar fetch: the tunnel has been observed to ack
+    # block_until_ready before queued work drains, so force a real
+    # device->host dependency on the last step's output
+    _sink = float(jnp.asarray(state["counts"][:8].sum(), jnp.float32))
     dt_step = time.time() - t0
     rps = nsteps * 2 * P / dt_step
     nref = int(np.asarray(out["referee"]).sum())
