@@ -63,3 +63,31 @@ def cross_contamination(ctg0: str, ctg1: str, ksize: int = 21,
         badkmc[qi] = mm.sum()
         badmask |= mm
     return badkmc, (xs_[badmask], ys_[badmask])
+
+
+def contamination_report(ctg0: str, ctg1: str, ksize: int = 21,
+                         fs: int = 700) -> dict:
+    """Cross-contamination QC summary for one locus pair
+    (plotCrossContamination's title stat + point clouds,
+    vntrutils.py:452-514; matplotlib glue omitted).
+
+    rate = 100 * sum(badkmc) / (TRsize0 + TRsize1), the percentage the
+    reference prints as "contam=..., X%".
+    """
+    tr0 = len(ctg0) - 2 * fs
+    tr1 = len(ctg1) - 2 * fs
+    badkmc, bad = cross_contamination(ctg0, ctg1, ksize, fs)
+    points = shared_kmer_points(ctg0, ctg1, ksize)
+    return {
+        "badkmc": badkmc,
+        "rate_pct": 100.0 * badkmc.sum() / (tr0 + tr1),
+        "points": points,
+        "bad_points": bad,
+    }
+
+
+def self_repeat(seq: str, ksize: int = 13, fs: int = 700) -> dict:
+    """Self dot-plot QC (visSelfRepeat, vntrutils.py:514-519): the same
+    contamination analysis of a sequence against itself, k=13 by default
+    to expose diffuse self-similarity."""
+    return contamination_report(seq, seq, ksize, fs)

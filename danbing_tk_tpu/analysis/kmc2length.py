@@ -72,16 +72,48 @@ def read_locus_sums(counts_path: str, ksi: list[int]) -> np.ndarray:
     return np.array(kms_sum(ksi, counts_path), dtype=np.int64)
 
 
+def seqrun_prior_donor(dis: np.ndarray, runs, runs_db=None,
+                       bad_donors=()) -> np.ndarray:
+    """Donor index per sample, preferring the nearest donor from the same
+    sequencing run (kmc2length.LOO.py:107-120 getBestUsingSeqrunPrior).
+
+    dis: (samples x donors) distance matrix; runs / runs_db: sequencing-run
+    label per sample / donor (runs_db defaults to runs for the LOO case
+    where samples are their own donor panel); bad_donors: donor indices
+    excluded from the search.  A sample whose own run is "individual"
+    accepts a donor from any run.  Falls back to donor 0 when no candidate
+    qualifies, as the reference's zero-initialized bestind does.
+    """
+    if runs_db is None:
+        runs_db = runs
+    bad = set(bad_donors)
+    order = np.argsort(dis, axis=1)
+    chosen = np.zeros(dis.shape[0], dtype=int)
+    for i, candidates in enumerate(order):
+        run = runs[i]
+        for j in candidates:
+            if j not in bad and (runs_db[j] == run or run == "individual"):
+                chosen[i] = j
+                break
+    return chosen
+
+
 def kmc2length(trmat: np.ndarray, ntrbias: np.ndarray,
                trbias_db: np.ndarray, ntrbias_db: np.ndarray,
-               cov: np.ndarray, ksize: int) -> np.ndarray:
+               cov: np.ndarray, ksize: int, runs=None, runs_db=None,
+               bad_donors=()) -> np.ndarray:
     """Bias-corrected length estimates (samples x loci).
 
     trmat: per-sample locus k-mer sums; ntrbias: per-sample control-region
     bias rows; *_db: precomputed LSB panel; cov: per-sample coverage.
+    With ``runs`` (sequencing-run label per sample), donors are picked by
+    the seqrun prior instead of the unconditioned nearest neighbor.
     """
     dis = row_distance(ntrbias, ntrbias_db)
-    best = np.argsort(dis, axis=1)[:, 0]
+    if runs is not None:
+        best = seqrun_prior_donor(dis, runs, runs_db, bad_donors)
+    else:
+        best = np.argsort(dis, axis=1)[:, 0]
     ests = np.full(trmat.shape, np.nan)
     for i, b in enumerate(best):
         ests[i] = len_pred(trmat[i], trbias_db[b], cov[i], ksize)

@@ -73,9 +73,12 @@ def _cmd_build(args):
     from ..pipeline.build import build_rpgg
 
     gs = [line.split()[0] for line in open(args.genomes)]
+    prune_reads = dict(kv.split("=", 1) for kv in args.prune_reads or [])
     pan = build_rpgg(args.workdir, args.indir, gs, args.refTR, ksize=args.k,
                      FS=args.fs, TRWINDOW=args.trwindow,
-                     dist_merge=args.dist_merge, nproc=args.p)
+                     dist_merge=args.dist_merge, nproc=args.p,
+                     prune_reads=prune_reads or None, cth=args.cth,
+                     thcth=args.thcth, use_device=args.device)
     print(pan)
 
 
@@ -277,6 +280,15 @@ def main(argv=None):
     b.add_argument("--dist-merge", type=int, default=700)
     b.add_argument("-p", type=int, default=1,
                    help="MBE worker processes (X3 parity)")
+    b.add_argument("--prune-reads", action="append", metavar="G=READS",
+                   help="genome=reads-path; enables the raw->prune->PB "
+                   "graph path (GenRaw/GenPrunedGenomeGraph) per genome")
+    b.add_argument("-cth", type=int, default=45,
+                   help="prune-alignment count threshold")
+    b.add_argument("--thcth", type=int, default=50,
+                   help="prune-alignment threading count threshold")
+    b.add_argument("--device", action="store_true",
+                   help="run the prune alignment on the device engine")
     b.set_defaults(fn=_cmd_build)
 
     br = sub.add_parser("build-ref",

@@ -51,8 +51,18 @@ def build_rpgg(workdir: str, indir: str, gs: list[str], ref_tr_bed: str,
                ksize: int = 21, FS: int = 700, TRWINDOW: int = 100000,
                dist_merge: int = 700, th1: float = 0.1, th2: float = 0.8,
                ignore_case: bool = True, force: bool = False,
-               nproc: int = 1):
-    """Runs the full build; returns the pan prefix path."""
+               nproc: int = 1, prune_reads: dict[str, str] | None = None,
+               cth: int = 45, thcth: int = 50, use_device: bool = False):
+    """Runs the full build; returns the pan prefix path.
+
+    ``prune_reads`` maps genome name -> PE reads path (fasta/fastq) of
+    that genome's own short reads; when given, the prune path of
+    GenRawGenomeGraph/GenPrunedGenomeGraph
+    (GoodPanGenomeGraph.snakefile:241-336) runs per genome:
+    raw graph -> threading-mode self-alignment (-g thcth -cth cth) ->
+    count==0 prune list -> pruned graph, plus the EvalRawGenomeGraph
+    linreg diagnostic ({g}.rawLR.pred).  cth/thcth defaults follow
+    pipeline/goodPanGenomeGraph.json."""
     nh = 2 * len(gs)
     os.makedirs(workdir, exist_ok=True)
 
@@ -116,11 +126,15 @@ def build_rpgg(workdir: str, indir: str, gs: list[str], ref_tr_bed: str,
                    for h in (0, 1)]
             gmap = [[omap[li][2 * gi + h] for h in (0, 1)]
                     for li in range(nloci)]
-            fa2kmers(os.path.join(workdir, f"{g}.PB"), fas, k=ksize,
-                     fsi=FS, fso=FS, orthomap=gmap, nloci=nloci)
-            make_tre_kmers_mapped(
-                os.path.join(workdir, f"{g}.PB"), fas, gmap, nloci,
-                ksize, FS)
+            pb = os.path.join(workdir, f"{g}.PB")
+            prune_file = None
+            if prune_reads and g in prune_reads:
+                prune_file = _gen_prune_list(
+                    workdir, g, fas, gmap, nloci, ksize, FS,
+                    prune_reads[g], cth, thcth, use_device)
+            fa2kmers(pb, fas, k=ksize, fsi=FS, fso=FS, orthomap=gmap,
+                     nloci=nloci, prune_file=prune_file)
+            make_tre_kmers_mapped(pb, fas, gmap, nloci, ksize, FS)
 
     _step(workdir, "genome_kmers", genome_kmers, force)
     _step(workdir, "pan_kmers", lambda: gen_pan_kmers(
@@ -129,6 +143,52 @@ def build_rpgg(workdir: str, indir: str, gs: list[str], ref_tr_bed: str,
     _step(workdir, "serialize", lambda: dbi_mod.serialize(
         os.path.join(workdir, "pan")), force)
     return os.path.join(workdir, "pan")
+
+
+def _gen_prune_list(workdir, g, fas, gmap, nloci, ksize, FS, reads,
+                    cth, thcth, use_device):
+    """GenRawGenomeGraph's prune branch + EvalRawGenomeGraph
+    (GoodPanGenomeGraph.snakefile:241-311): build the genome's raw graph,
+    thread its own short reads through it, and emit the k-mers the reads
+    never covered (count==0) as the fa2kmers -p prune list."""
+    import io as _io
+    import sys as _sys
+
+    from ..analysis.linreg import linreg
+    from ..index import dbi as _dbi
+
+    raw = os.path.join(workdir, f"{g}.rawPB")
+    fa2kmers(raw, fas, k=ksize, fsi=FS, fso=FS, orthomap=gmap,
+             nloci=nloci)
+    make_tre_kmers_mapped(raw, fas, gmap, nloci, ksize, FS)
+    _dbi.serialize(raw)
+
+    # threading-mode self-alignment: danbing-tk -g thcth -cth cth
+    from ..apps import cli as _cli
+
+    raw_il = os.path.join(workdir, f"{g}.rawIL")
+    is_fq = reads.endswith((".fq", ".fastq"))
+    argv = ["align", "-qs", raw, "-g", str(thcth), "-k", str(ksize),
+            "-cth", str(cth), "-fq" if is_fq else "-fa", reads,
+            "-on", raw_il] + (["--device"] if use_device else [])
+    old = _sys.stdout
+    _sys.stdout = _io.StringIO()
+    try:
+        _cli.main(argv)
+    finally:
+        _sys.stdout = old
+
+    # EvalRawGenomeGraph diagnostic (non-gating, R2threshold=-2 == keep all)
+    linreg(raw + ".tr.kmers", raw_il + ".tr.kmers",
+           os.path.join(workdir, f"{g}.rawLR.pred"), outlier="invalid")
+
+    # awk '$1 ~ />/ || $2 == 0' {g}.rawIL.tr.kmers
+    prune_file = os.path.join(workdir, f"{g}.prune.kmers")
+    with open(raw_il + ".tr.kmers") as fin, open(prune_file, "w") as out:
+        for line in fin:
+            if line[0] == ">" or line.split()[1] == "0":
+                out.write(line)
+    return prune_file
 
 
 def make_tre_kmers_mapped(out_pref, fastas, orthomap, nloci, k, fsi):

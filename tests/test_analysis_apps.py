@@ -82,3 +82,28 @@ def test_kmc2length_spec():
                       np.full(3, 30.0), 21)
     assert np.allclose(ests, 3000 / 30 + 20)
     assert iqr_mask(np.array([1, 1, 1, 1, 100.0]))[-1]
+
+
+def test_seqrun_prior_donor():
+    """getBestUsingSeqrunPrior (kmc2length.LOO.py:107-120): nearest donor
+    sharing the sample's sequencing run; 'individual' accepts any run;
+    bad donors are skipped."""
+    import numpy as np
+
+    from danbing_tk_tpu.analysis.kmc2length import seqrun_prior_donor
+
+    dis = np.array([
+        [0.0, 0.1, 0.2, 0.3],   # sample 0: nearest donor 1 (run B) skipped
+        [0.4, 0.0, 0.1, 0.2],   # sample 1 ('individual'): any run ok
+        [0.3, 0.1, 0.0, 0.2],   # sample 2: nearest valid is bad -> next
+    ])
+    runs = ["A", "individual", "B"]
+    runs_db = ["A", "B", "B", "A"]
+    # sample 0: order 0,1,2,3 -> donor 0 shares run A
+    # sample 1: order 1,2,3,0 -> donor 1 (any run accepted)
+    # sample 2: order 2,1,3,0 -> 2 is bad, 1 shares run B
+    chosen = seqrun_prior_donor(dis, runs, runs_db, bad_donors={2})
+    assert chosen.tolist() == [0, 1, 1]
+    # no qualifying donor falls back to 0 (reference zero-init semantics)
+    chosen2 = seqrun_prior_donor(np.array([[0.1, 0.0]]), ["C"], ["A", "B"])
+    assert chosen2.tolist() == [0]

@@ -86,3 +86,46 @@ def test_build_and_align(tmp_path):
     assert counts.sum() > 0
     # every locus with a TR long enough to be covered should get reads
     assert (al.nmapread > 0).sum() >= NLOCI - 1
+
+
+def _read_locus_kmers(path):
+    per = []
+    for line in open(path):
+        if line[0] == ">":
+            per.append({})
+        else:
+            km, c = line.split()
+            per[-1][int(km)] = int(c)
+    return per
+
+
+def test_build_with_prune_path(tmp_path):
+    """GenRaw->prune->GenPruned (snakefile:241-336): a locus whose reads
+    never appear in the genome's own short-read set loses its kmers."""
+    import io
+
+    indir, _ = _make_scenario(str(tmp_path))
+    work = str(tmp_path / "work")
+    buf = io.StringIO()
+    for h in (0, 1):
+        sim_reads(os.path.join(indir, f"g0.{h}.fa"), buf, cov=20,
+                  flen=300, rlen=100, min_ctg_len=100)
+    reads = str(tmp_path / "g0.reads.fa")
+    lines = buf.getvalue().splitlines()
+    with open(reads, "w") as f:
+        for title, seq in zip(lines[::2], lines[1::2]):
+            if not title.startswith(">ctg3_"):  # locus 3 never sequenced
+                f.write(f"{title}\n{seq}\n")
+    pan = build_rpgg(work, indir, GS, str(tmp_path / "ref.tr.bed"),
+                     ksize=KSIZE, FS=FS, TRWINDOW=TRWINDOW, dist_merge=FS,
+                     prune_reads={"g0": reads}, cth=1, thcth=1)
+    raw = _read_locus_kmers(os.path.join(work, "g0.rawPB.tr.kmers"))
+    pb = _read_locus_kmers(os.path.join(work, "g0.PB.tr.kmers"))
+    assert len(pb[3]) < len(raw[3])          # uncovered locus pruned
+    assert all(pb[li] for li in (0, 1, 2))   # covered loci survive
+    prune = _read_locus_kmers(os.path.join(work, "g0.prune.kmers"))
+    assert sum(len(p) for p in prune) > 0
+    assert os.path.getsize(os.path.join(work, "g0.rawLR.pred"))
+    # non-pruned genome takes the direct path
+    assert not os.path.exists(os.path.join(work, "g1.rawPB.tr.kmers"))
+    assert os.path.getsize(pan + ".kmers.dbi")
