@@ -46,18 +46,23 @@ def merge_count_files(pattern: str) -> np.ndarray:
 
 
 def global_merge(local_counts):
-    """Cross-host all-reduce of the final count vector (requires
-    jax.distributed.initialize on every host)."""
+    """Cross-host reduction of the final count vector (requires
+    jax.distributed.initialize on every host): all-gather one row per
+    process over DCN, sum on host.  Counts are integers and addition is
+    exact/commutative, so the merged vector is byte-equal to a
+    single-process run regardless of shard order.
+
+    Note a shard_map psum over the *global* device mesh would be wrong
+    here: each host contributes ONE local vector, not one per local
+    device, and P(None) "replicated" inputs that differ per host would
+    multiply by the per-host device count.
+    """
     import jax
-    import jax.numpy as jnp
-    from jax.sharding import Mesh, PartitionSpec as P
 
-    devs = np.array(jax.devices())
-    mesh = Mesh(devs, ("d",))
+    local = np.asarray(local_counts)
+    if jax.process_count() == 1:
+        return local
+    from jax.experimental import multihost_utils
 
-    def f(x):
-        return jax.lax.psum(x, "d")
-
-    return np.asarray(
-        jax.jit(jax.shard_map(f, mesh=mesh, in_specs=P(None),
-                              out_specs=P(None)))(jnp.asarray(local_counts)))
+    rows = np.asarray(multihost_utils.process_allgather(local))
+    return rows.sum(axis=0).astype(local.dtype)
