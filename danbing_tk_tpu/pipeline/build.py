@@ -145,6 +145,70 @@ def build_rpgg(workdir: str, indir: str, gs: list[str], ref_tr_bed: str,
     return os.path.join(workdir, "pan")
 
 
+def _read_fasta(path: str) -> dict[str, str]:
+    recs: dict[str, str] = {}
+    name, cur = None, []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith(">"):
+                if name is not None:
+                    recs[name] = "".join(cur)
+                name = line[1:].split()[0]
+                cur = []
+            else:
+                cur.append(line)
+    if name is not None:
+        recs[name] = "".join(cur)
+    return recs
+
+
+def kmer_lift_tmp1(ref_fa: str, ref_tr_bed: str, asm_fa: str,
+                   ksize: int = 21):
+    """Liftover substitute for fixtures without minimap2 output
+    (MapRef2Asm/LiftTR, GoodPanGenomeGraph.snakefile:55-150): locate each
+    refTR locus inside the assembly by scanning for the reference TR's
+    canonical k-mers and emit tmp1-format rows
+    [asm_ctg, s, e, ref_ctg, ref_s, ref_e, strand=1] ('.'-rows for absent
+    loci).  Per locus the contig with the most hits wins (a haplotype
+    carries one true copy); the span is [first_hit, last_hit + k).
+    Shared oracle glue — not a production replacement for real liftover.
+    """
+    from ..ops import kmers_np as K
+
+    ref = _read_fasta(ref_fa)
+    rows = [line.split()[:3] for line in open(ref_tr_bed)]
+    kmer2loci: dict[int, list[int]] = {}
+    for li, (c, s, e) in enumerate(rows):
+        tr = ref[c][int(s):int(e)].upper()
+        kms = K.seq_to_kmers(K.encode_bases(tr), ksize, canonical=True)
+        for km in set(kms.tolist()) - {int(K.NAN64)}:
+            kmer2loci.setdefault(km, []).append(li)
+
+    # best[li] = (-nhits, scan_idx, ctg, start, end)
+    best: dict[int, tuple] = {}
+    for scan_idx, (ctg, seq) in enumerate(_read_fasta(asm_fa).items()):
+        kms = K.seq_to_kmers(K.encode_bases(seq.upper()), ksize,
+                             canonical=True)
+        hits: dict[int, list[int]] = {}
+        for i, km in enumerate(kms.tolist()):
+            for li in kmer2loci.get(km, ()):
+                hits.setdefault(li, []).append(i)
+        for li, pos in hits.items():
+            cand = (-len(pos), scan_idx, ctg, pos[0], pos[-1] + ksize)
+            if li not in best or cand < best[li]:
+                best[li] = cand
+
+    out = []
+    for li, (c, s, e) in enumerate(rows):
+        if li in best:
+            _, _, ctg, beg, end = best[li]
+            out.append((ctg, beg, end, c, int(s), int(e), 1))
+        else:
+            out.append((".",) * 7)
+    return out
+
+
 def _gen_prune_list(workdir, g, fas, gmap, nloci, ksize, FS, reads,
                     cth, thcth, use_device):
     """GenRawGenomeGraph's prune branch + EvalRawGenomeGraph
