@@ -30,6 +30,10 @@ def main():
     import jax
     import numpy as np
 
+    from danbing_tk_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from danbing_tk_tpu.engine import device_align as da
     from danbing_tk_tpu.engine.host_align import AlignConfig, RPGG
     from danbing_tk_tpu.ops import kmers_np as K

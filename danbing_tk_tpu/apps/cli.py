@@ -32,7 +32,9 @@ def _cmd_align(args):
     rpgg = RPGG(args.qs, bait=args.b, qc_file=args.qc, trim=args.t)
     if args.device:
         from ..engine.align_runner import DeviceAlignRunner
+        from ..utils.compile_cache import enable_compile_cache
 
+        enable_compile_cache()
         al = DeviceAlignRunner(rpgg, cfg)
     else:
         al = HostAligner(rpgg, cfg)

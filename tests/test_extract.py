@@ -92,3 +92,18 @@ def test_trim_db_selection(golden_dir, tmp_path, monkeypatch):
     os.remove(str(pan) + ".tr.kmers")
     rpgg = RPGG(str(pan), trim=3)
     assert rpgg.nloci > 0
+
+
+def test_device_extract_fastq(golden_dir):
+    """Device runner, fastq input, -e 1: byte-exact vs the reference
+    golden (VERDICT r1 weak #7 — device fastq extraction untested)."""
+    from danbing_tk_tpu.engine.align_runner import DeviceAlignRunner
+
+    rpgg = RPGG(os.path.join(golden_dir, "pan"))
+    cfg = AlignConfig(ksize=21, cth=20, n_filter=4, nm_filter=1,
+                      extract=1, simmode=2, is_fastq=True)
+    al = DeviceAlignRunner(rpgg, cfg, batch_pairs=512)
+    al.run_file(os.path.join(golden_dir, "reads.sim.fq"))
+    buf = io.StringIO()
+    al.write_extract(buf)
+    assert buf.getvalue() == _gold(golden_dir, "out.fq.e1.fq")

@@ -20,8 +20,50 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
+def synth_reads(path, npairs, frac, seqs, L=150, err=0.0,
+                chunk=1_000_000, seed=3, flen=500):
+    """WGS-shaped PE fasta, vectorized (a 5e7-pair/30GB file is feasible):
+    frac of pairs drawn from the haplotype pool, the rest uniform random;
+    err = per-base substitution rate on the TR-derived reads (background
+    reads are already random), the bench panel's error profile."""
+    rng = np.random.default_rng(seed)
+    pool = [np.frombuffer(s.encode(), dtype=np.uint8)
+            for s in seqs if len(s) >= flen]
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    comp = np.zeros(256, dtype=np.uint8)
+    for a, b in zip(b"ACGTN", b"TGCAN"):
+        comp[a] = b
+    nl = np.uint8(ord("\n"))
+    with open(path, "wb") as f:
+        done = 0
+        while done < npairs:
+            n = min(chunk, npairs - done)
+            r1 = bases[rng.integers(0, 4, (n, L))]
+            r2 = bases[rng.integers(0, 4, (n, L))]
+            for i in np.flatnonzero(rng.random(n) < frac):
+                s = pool[int(rng.integers(len(pool)))]
+                b = int(rng.integers(0, len(s) - flen + 1))
+                r1[i] = s[b:b + L]
+                r2[i] = comp[s[b + flen - L:b + flen]][::-1]
+                if err:
+                    for r in (r1, r2):
+                        m = np.flatnonzero(rng.random(L) < err)
+                        r[i, m] = bases[rng.integers(0, 4, len(m))]
+            r1 = np.concatenate([r1, np.full((n, 1), nl)], axis=1)
+            r2 = np.concatenate([r2, np.full((n, 1), nl)], axis=1)
+            f.write(b"".join(
+                b">p%d/1\n%s>p%d/2\n%s" % (done + i, r1[i].tobytes(),
+                                           done + i, r2[i].tobytes())
+                for i in range(n)))
+            done += n
+            print(f"  {done}/{npairs} pairs", file=sys.stderr)
+
+
 def main():
     from danbing_tk_tpu.engine.align_runner import DeviceAlignRunner
+    from danbing_tk_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     from danbing_tk_tpu.engine.host_align import AlignConfig, RPGG
     from danbing_tk_tpu.apps.fa2kmers import read_fasta_seqs
     from tools.make_bench_rpgg import build
@@ -35,25 +77,14 @@ def main():
     pan = build(os.path.join(
         root, "build", f"bench_rpgg{'' if nloci == 512 else nloci}"),
         nloci)
-    reads = os.path.join(os.path.dirname(pan), f"e2e_{npairs}_{frac}.fa")
+    err = float(os.environ.get("DTK_E2E_ERR", 0.0))
+    reads = os.path.join(os.path.dirname(pan),
+                         f"e2e_{npairs}_{frac}_{err}.fa")
     if not os.path.exists(reads):
         print("synthesizing reads...", file=sys.stderr)
-        rng = np.random.default_rng(3)
         seqs = read_fasta_seqs(os.path.join(os.path.dirname(pan),
                                             "hap0.fa"))
-        bases = np.frombuffer(b"ACGT", dtype=np.uint8)
-        with open(reads, "w") as f:
-            for i in range(npairs):
-                if rng.random() < frac:
-                    s = seqs[int(rng.integers(0, len(seqs)))]
-                    b = int(rng.integers(0, max(len(s) - 500, 1)))
-                    r1 = s[b:b + L]
-                    r2 = s[b + 500 - L:b + 500][::-1].translate(
-                        str.maketrans("ACGT", "TGCA"))
-                else:
-                    r1 = bases[rng.integers(0, 4, L)].tobytes().decode()
-                    r2 = bases[rng.integers(0, 4, L)].tobytes().decode()
-                f.write(f">p{i}/1\n{r1}\n>p{i}/2\n{r2}\n")
+        synth_reads(reads, npairs, frac, seqs, L=L, err=err)
 
     rpgg = RPGG(pan)
     cfg = AlignConfig(ksize=21, cth=20, n_filter=4, nm_filter=1,

@@ -32,18 +32,17 @@ def main():
         # jax.config; honor an explicit user choice (CPU smoke tests)
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
-    root = os.path.join(os.path.dirname(__file__), "..")
-    cache = os.path.join(root, "build", "jaxcache")
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from danbing_tk_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     import jax.numpy as jnp
 
     from danbing_tk_tpu.engine import device_align as da
     from danbing_tk_tpu.engine.host_align import AlignConfig
     from danbing_tk_tpu.index import device_table as dt
-    from tools.make_scale_index import build_scale_rpgg, sample_read_batch
+    from tools.make_scale_index import (build_scale_rpgg_cached,
+                                        sample_read_batch)
 
     nloci = int(os.environ.get("DTK_SCALE_NLOCI", 80_000))
     kpl = int(os.environ.get("DTK_SCALE_KPL", 1500))
@@ -53,7 +52,8 @@ def main():
     L, k = 150, 21
 
     t0 = time.time()
-    drp, seqs = build_scale_rpgg(nloci, kpl, with_trfl=not probe_only)
+    drp, seqs = build_scale_rpgg_cached(nloci, kpl,
+                                        with_trfl=not probe_only)
     build_s = time.time() - t0
     # exact key count: level rows store lo at col 0 of each BUCKET*W row
     nkeys = 0
@@ -72,8 +72,14 @@ def main():
 
     # ---- probe microbench: dbi lookups at production size ----
     NKW = L - k + 1
+    t0 = time.time()
     dbi_dev = [(jax.device_put(jnp.asarray(t)), s)
                for t, s in drp.dbi_tab.levels]
+    # finish the multi-GB table upload BEFORE any timed region — over the
+    # tunnel the transfer is minutes and was once mis-billed to the probe
+    jax.block_until_ready([t for t, _ in dbi_dev])
+    print(f"# upload: dbi tables resident in {time.time()-t0:.0f}s",
+          file=sys.stderr)
     salts = [s for _, s in drp.dbi_tab.levels]
 
     def probe(qlo, qhi, tabs):

@@ -142,6 +142,54 @@ def build_scale_rpgg(nloci: int = 80_000, kmers_per_locus: int = 1500,
     return drp, seqs
 
 
+def _tab_to_arrs(prefix: str, tab, arrs: dict):
+    arrs[f"{prefix}_nlev"] = np.int64(len(tab.levels))
+    arrs[f"{prefix}_composite"] = np.int64(tab.composite)
+    for i, (t, s) in enumerate(tab.levels):
+        arrs[f"{prefix}_t{i}"] = t
+        arrs[f"{prefix}_s{i}"] = np.int64(s)
+
+
+def _tab_from_arrs(prefix: str, z):
+    levels = [(z[f"{prefix}_t{i}"], int(z[f"{prefix}_s{i}"]))
+              for i in range(int(z[f"{prefix}_nlev"]))]
+    return dt.BucketTable(levels, composite=bool(int(
+        z[f"{prefix}_composite"])))
+
+
+def build_scale_rpgg_cached(nloci, kmers_per_locus, with_trfl=True,
+                            cache_dir="build", **kw):
+    """Disk-cached build_scale_rpgg: the 100M-key host build takes ~20min,
+    so reruns load the flat tables from an npz instead."""
+    os.makedirs(cache_dir, exist_ok=True)
+    seed = kw.get("seed", 9)
+    path = os.path.join(
+        cache_dir,
+        f"scale_{nloci}_{kmers_per_locus}_{seed}_{int(with_trfl)}.npz")
+    if os.path.exists(path):
+        t0 = time.time()
+        z = np.load(path)
+        trfl = _tab_from_arrs("trfl", z) if int(z["with_trfl"]) else None
+        drp = DeviceRPGG(int(z["nloci"]), _tab_from_arrs("dbi", z),
+                         z["vv"], trfl, None, z["locus_offsets"],
+                         int(z["nslots"]))
+        print(f"[scale-index] cache hit {path} "
+              f"({time.time()-t0:.0f}s)", file=sys.stderr)
+        return drp, z["seqs"]
+    drp, seqs = build_scale_rpgg(nloci, kmers_per_locus,
+                                 with_trfl=with_trfl, **kw)
+    arrs = {"seqs": seqs, "nloci": np.int64(drp.nloci), "vv": drp.vv,
+            "locus_offsets": drp.locus_offsets,
+            "nslots": np.int64(drp.nslots),
+            "with_trfl": np.int64(drp.trfl_tab is not None)}
+    _tab_to_arrs("dbi", drp.dbi_tab, arrs)
+    if drp.trfl_tab is not None:
+        _tab_to_arrs("trfl", drp.trfl_tab, arrs)
+    np.savez(path, **arrs)
+    print(f"[scale-index] cached -> {path}", file=sys.stderr)
+    return drp, seqs
+
+
 def sample_read_batch(seqs, P: int, L: int, rng, frac_tr: float = 1.0,
                       flen: int = 400):
     """PE pairs from the locus pool (+ random background)."""
