@@ -45,6 +45,11 @@ def main():
     nsteps = int(os.environ.get("DTK_BENCH_STEPS", 8))
     nloci = int(os.environ.get("DTK_BENCH_NLOCI", 512))
     E = int(os.environ.get("DTK_BENCH_E", 512))
+    # per-base substitution rate on the sampled reads (error-profile
+    # panel row; 0.002 ~= Illumina SRS).  Errors create novel k-mers the
+    # dbi rejects and perturb vote margins, so this exercises the
+    # filter/threshold paths the clean panel cannot.
+    err = float(os.environ.get("DTK_BENCH_ERR", 0.0))
 
     pan = build(os.path.join(root, "build",
                              f"bench_rpgg{'' if nloci == 512 else nloci}"),
@@ -73,6 +78,11 @@ def main():
         r2 = s[beg + FLEN - L : beg + FLEN][::-1].translate(comp)
         for m, r in ((0, r1), (1, r2)):
             cs = K.encode_bases(r)
+            if err:
+                hit = np.flatnonzero(rng.random(len(cs)) < err)
+                cs = cs.copy()
+                cs[hit] = (cs[hit] + rng.integers(
+                    1, 4, len(hit)).astype(np.uint8)) % 4
             codes[2 * i + m, : len(cs)] = cs
             rlen[2 * i + m] = len(cs)
     live = np.ones(P, dtype=bool)
