@@ -137,9 +137,12 @@ def main():
         "vs_baseline": round(reads_per_sec / REF_READS_PER_SEC, 3),
     }))
     nref = int(np.asarray(out["referee"]).sum())
+    nrt, nro, nr2 = (int(np.asarray(out[k]).sum()) for k in
+                     ("referee_tie", "referee_ovf", "referee_t2"))
     print(f"# device={jax.devices()[0]} compile={compile_s:.1f}s "
           f"steady={dt/nsteps*1e3:.1f}ms/step P={P} E={E} nloci={nloci} "
           f"index_keys={len(rpgg.dbi)} referee={nref}/{P} "
+          f"(tie={nrt} ovf={nro} t2={nr2}) err={err} "
           f"kmer_lookups/s={lookups_per_sec:.3e} "
           f"prefilter_reads/s={pre_rate:.3e}", file=sys.stderr)
 

@@ -74,6 +74,7 @@ class DeviceAlignRunner:
         self.extract_rows: list[str] = []
         self.aln_rows: list[str] = []
         self.n_referee = 0
+        self.referee_reasons = {"tie": 0, "ovf": 0, "t2": 0}
         self.n_host_thread = 0
 
     # -- batching --
@@ -308,6 +309,11 @@ class DeviceAlignRunner:
         cfg = self.cfg
         nloci = self.rpgg.nloci
         referee = out["referee"]
+        for key in ("tie", "ovf", "t2"):
+            mask = out.get(f"referee_{key}")
+            if mask is not None:
+                self.referee_reasons[key] += int(
+                    np.asarray(mask[: len(pairs)]).sum())
         for i, rec in enumerate(pairs):
             title, s1, s2, src = rec[:4]
             quals = tuple(rec[4:6]) if len(rec) > 4 else (None, None)

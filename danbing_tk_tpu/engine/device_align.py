@@ -915,6 +915,13 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
 
         out = dict(
             pair_alive=pair_kf, vote_pass=vote_pass, referee=referee,
+            # referee reason masks (overlap possible): unresolved tie /
+            # expansion overflow / test2-only boundary — which one
+            # dominates decides the right mitigation (tie logic vs
+            # larger E vs none)
+            referee_tie=pair_kf & tie & ~tie_res,
+            referee_ovf=pair_kf & overflow,
+            referee_t2=pair_kf & (~test1 & test2),
             dst0=dst0, counted=counted, dest=dest, qc_drop=qc_drop,
             bf=bf.astype(jnp.int32),
             kf=kf, hf=hf, rm=rm, af=af,

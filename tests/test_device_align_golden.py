@@ -47,6 +47,9 @@ def test_device_align_bit_exact(rpgg, golden_dir, tmp_path):
     # referee rate must stay small (golden set has deliberately ambiguous
     # shared-motif loci producing vote ties; ~1.4% here)
     assert run.n_referee <= 0.05 * 4600, run.n_referee
+    # reason masks cover every referee'd pair (reasons can overlap)
+    assert sum(run.referee_reasons.values()) >= run.n_referee, \
+        run.referee_reasons
 
 
 def test_device_align_simmode(rpgg, golden_dir, tmp_path):

@@ -141,9 +141,11 @@ def main():
     dt_step = time.time() - t0
     rps = nsteps * 2 * P / dt_step
     nref = int(np.asarray(out["referee"]).sum())
+    nrt, nro, nr2 = (int(np.asarray(out[k]).sum()) for k in
+                     ("referee_tie", "referee_ovf", "referee_t2"))
     print(f"# full step: {rps:.0f} reads/s ({dt_step/nsteps*1e3:.0f} "
           f"ms/step P={P}) compile={compile_s:.0f}s referee={nref}/{P} "
-          f"device={dev}", file=sys.stderr)
+          f"(tie={nrt} ovf={nro} t2={nr2}) device={dev}", file=sys.stderr)
     print(json.dumps({
         "metric": "scale_align_reads_per_sec",
         "value": round(rps, 1),
