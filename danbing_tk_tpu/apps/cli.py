@@ -35,7 +35,8 @@ def _cmd_align(args):
         from ..utils.compile_cache import enable_compile_cache
 
         enable_compile_cache()
-        al = DeviceAlignRunner(rpgg, cfg)
+        al = DeviceAlignRunner(rpgg, cfg, expand_cap=args.expand_cap,
+                               retry_expand=args.retry_expand)
     else:
         al = HostAligner(rpgg, cfg)
     if args.native_io or args.prefilter:
@@ -269,6 +270,12 @@ def main(argv=None):
     a.add_argument("--checkpoint", metavar="PATH",
                    help="periodically persist count state; resume from "
                         "PATH after a crash")
+    a.add_argument("--expand-cap", type=int, default=512,
+                   help="per-pair kmer->locus expansion slots on device")
+    a.add_argument("--retry-expand", type=int, default=0,
+                   help="two-phase expansion: re-run overflowing pairs "
+                        "through a second device step with this many "
+                        "slots before the host referee (native path)")
     a.set_defaults(fn=_cmd_align)
 
     b = sub.add_parser("build", help="build an RPGG from assemblies+beds")

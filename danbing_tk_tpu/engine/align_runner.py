@@ -37,11 +37,18 @@ def _decode_qual(quals: np.ndarray, rlen: int) -> str:
 
 class DeviceAlignRunner:
     def __init__(self, rpgg: RPGG, cfg: AlignConfig, batch_pairs: int = 4096,
-                 max_read_len: int = 256, expand_cap: int = 512):
+                 max_read_len: int = 256, expand_cap: int = 512,
+                 retry_expand: int = 0):
         # expand_cap bounds the per-pair (kmer -> loci) expansion; pairs
         # exceeding it fall to the host referee (exact).  Smaller caps cut
         # device time ~35% but blow up the referee rate on RPGGs with
         # heavily shared motifs -- tune per index.
+        # retry_expand > 0 enables the two-phase scheme on the native
+        # counting path: the primary step runs at the (small) expand_cap
+        # and overflowing pairs are re-batched through a second jitted
+        # step at retry_expand before any host fallback -- the common
+        # case gets the small-E step time without inflating the host
+        # referee rate.
         self.rpgg = rpgg
         self.cfg = cfg
         self.P = batch_pairs
@@ -76,6 +83,10 @@ class DeviceAlignRunner:
         self.n_referee = 0
         self.referee_reasons = {"tie": 0, "ovf": 0, "t2": 0}
         self.n_host_thread = 0
+        self.expand_cap = expand_cap
+        self.retry_E = retry_expand
+        self.retry_step = None      # built on first overflow
+        self.n_retried = 0
 
     # -- batching --
 
@@ -124,34 +135,101 @@ class DeviceAlignRunner:
             min_read_size=cfg.cth + cfg.ksize - 1, with_titles=False,
             with_quals=wq)
 
-        def full_step(codes, rlen, n, quals=None):
+        # two-phase expansion: overflow pairs from the small-E primary
+        # step are re-batched through a big-E device step before any
+        # host fallback (referee_reasons then count such pairs twice --
+        # once as primary ovf, once with their retry-step reason)
+        if self.retry_E and pre_state is not None \
+                and "ret_codes" in pre_state:
+            ret_codes = pre_state["ret_codes"]
+            ret_rlen = pre_state["ret_rlen"]
+            ret_quals = pre_state.get("ret_quals")
+            nret = int(pre_state["nret"])
+            self.n_retried = int(pre_state["n_retried"])
+        else:
+            ret_codes = np.full((2 * self.P, self.L), 255,
+                                dtype=np.uint8) if self.retry_E else None
+            ret_rlen = np.zeros(2 * self.P, dtype=np.int32)
+            ret_quals = (np.zeros((2 * self.P, self.L), dtype=np.uint8)
+                         if (self.retry_E and wq) else None)
+            nret = 0
+
+        def host_pair(codes, rlen, quals, i):
+            self.n_referee += 1
+            s1 = _decode(codes[2 * i], rlen[2 * i])
+            s2 = _decode(codes[2 * i + 1], rlen[2 * i + 1])
+            qs = (None, None)
+            if cfg.is_fastq and quals is not None:
+                qs = (_decode_qual(quals[2 * i], rlen[2 * i]),
+                      _decode_qual(quals[2 * i + 1], rlen[2 * i + 1]))
+            self.referee.process_pair(">r", s1, s2, -1, qs)
+
+        def run_step(step_fn, codes, rlen, n, quals, allow_retry):
+            nonlocal nret
             live = np.zeros(self.P, dtype=bool)
             live[:n] = True
             if wq:
                 qm = da.qmask_batch(quals, rlen, cfg.qth, cfg.ksize)
-                self.state, out = self.step(
+                self.state, out = step_fn(
                     self.state, codes, rlen, live, qm)
             else:
-                self.state, out = self.step(self.state, codes, rlen, live)
+                self.state, out = step_fn(self.state, codes, rlen, live)
             referee = np.asarray(out["referee"])[:n]
-            for i in np.nonzero(referee)[0]:
-                self.n_referee += 1
-                s1 = _decode(codes[2 * i], rlen[2 * i])
-                s2 = _decode(codes[2 * i + 1], rlen[2 * i + 1])
-                qs = (None, None)
-                if cfg.is_fastq and quals is not None:
-                    qs = (_decode_qual(quals[2 * i], rlen[2 * i]),
-                          _decode_qual(quals[2 * i + 1], rlen[2 * i + 1]))
-                self.referee.process_pair(">r", s1, s2, -1, qs)
+            for key in ("tie", "ovf", "t2"):
+                self.referee_reasons[key] += int(
+                    np.asarray(out[f"referee_{key}"])[:n].sum())
+            if allow_retry and self.retry_E:
+                ovf = np.asarray(out["referee_ovf"])[:n] & referee
+            else:
+                ovf = np.zeros(n, dtype=bool)
+            for i in np.nonzero(referee & ~ovf)[0]:
+                host_pair(codes, rlen, quals, i)
+            for i in np.nonzero(ovf)[0]:
+                self.n_retried += 1
+                ret_codes[2 * nret] = codes[2 * i]
+                ret_codes[2 * nret + 1] = codes[2 * i + 1]
+                ret_rlen[2 * nret] = rlen[2 * i]
+                ret_rlen[2 * nret + 1] = rlen[2 * i + 1]
+                if wq:
+                    ret_quals[2 * nret] = quals[2 * i]
+                    ret_quals[2 * nret + 1] = quals[2 * i + 1]
+                nret += 1
+                if nret == self.P:
+                    flush_retry()
+
+        def flush_retry():
+            nonlocal nret, ret_codes, ret_rlen, ret_quals
+            if not nret:
+                return
+            if self.retry_step is None:
+                self.retry_step = da.make_step(
+                    self.drp, cfg, self.P, self.L,
+                    expand_cap=self.retry_E, with_annot=False,
+                    with_qual=wq)
+            nr_, nret = nret, 0
+            rc, rr, rq = ret_codes, ret_rlen, ret_quals
+            ret_codes = np.full((2 * self.P, self.L), 255, dtype=np.uint8)
+            ret_rlen = np.zeros(2 * self.P, dtype=np.int32)
+            if wq:
+                ret_quals = np.zeros((2 * self.P, self.L), dtype=np.uint8)
+            run_step(self.retry_step, rc, rr, nr_, rq, allow_retry=False)
+
+        def full_step(codes, rlen, n, quals=None):
+            run_step(self.step, codes, rlen, n, quals, allow_retry=True)
 
         def save_ckpt():
-            extra = None
+            extra = {}
             if prefilter:
                 extra = dict(buf_codes=buf_codes, buf_rlen=buf_rlen,
                              nbuf=nbuf, n_prefiltered=self.n_prefiltered)
                 if wq:
                     extra["buf_quals"] = buf_quals
-            self._save_checkpoint(checkpoint, cursor, extra)
+            if self.retry_E:
+                extra.update(ret_codes=ret_codes, ret_rlen=ret_rlen,
+                             nret=nret, n_retried=self.n_retried)
+                if wq:
+                    extra["ret_quals"] = ret_quals
+            self._save_checkpoint(checkpoint, cursor, extra or None)
 
         for rec in reader:
             codes, rlen, n = rec[0], rec[1], rec[2]
@@ -194,6 +272,8 @@ class DeviceAlignRunner:
         if prefilter and nbuf:
             full_step(buf_codes, buf_rlen, nbuf, buf_quals)
             nbuf = 0
+        if self.retry_E:
+            flush_retry()
         self.host.flush_batch()
         if checkpoint and since:
             save_ckpt()
