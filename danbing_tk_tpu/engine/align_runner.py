@@ -11,6 +11,7 @@ RPGG's dicts), so the final genotype is device_counts + host_counts.
 from __future__ import annotations
 
 import os
+from collections import deque
 
 import numpy as np
 
@@ -231,6 +232,39 @@ class DeviceAlignRunner:
                     extra["ret_quals"] = ret_quals
             self._save_checkpoint(checkpoint, cursor, extra or None)
 
+        pending: deque = deque()
+        pre_window = int(os.environ.get("DTK_PREFILTER_WINDOW", "8"))
+
+        def drain_one():
+            nonlocal cursor, since, nbuf, buf_codes, buf_rlen, buf_quals
+            codes, rlen, quals, n, fut = pending.popleft()
+            surv = np.asarray(fut)[:n]
+            idx = np.nonzero(surv)[0]
+            self.n_prefiltered += int(n - len(idx))
+            for i in idx:
+                buf_codes[2 * nbuf] = codes[2 * i]
+                buf_codes[2 * nbuf + 1] = codes[2 * i + 1]
+                buf_rlen[2 * nbuf] = rlen[2 * i]
+                buf_rlen[2 * nbuf + 1] = rlen[2 * i + 1]
+                if wq:
+                    buf_quals[2 * nbuf] = quals[2 * i]
+                    buf_quals[2 * nbuf + 1] = quals[2 * i + 1]
+                nbuf += 1
+                if nbuf == self.P:
+                    full_step(buf_codes, buf_rlen, nbuf, buf_quals)
+                    buf_codes = np.full((2 * self.P, self.L), 255,
+                                        dtype=np.uint8)
+                    buf_rlen = np.zeros(2 * self.P, dtype=np.int32)
+                    if wq:
+                        buf_quals = np.zeros((2 * self.P, self.L),
+                                             dtype=np.uint8)
+                    nbuf = 0
+            cursor += n
+            since += n
+            if checkpoint and since >= checkpoint_every:
+                save_ckpt()
+                since = 0
+
         for rec in reader:
             codes, rlen, n = rec[0], rec[1], rec[2]
             quals = rec[4] if wq else None
@@ -240,35 +274,24 @@ class DeviceAlignRunner:
             if prefilter:
                 live = np.zeros(self.P, dtype=bool)
                 live[:n] = True
-                surv = np.asarray(
-                    self.prefilter_step(codes, rlen, live))[:n]
-                idx = np.nonzero(surv)[0]
-                self.n_prefiltered += int(n - len(idx))
-                for i in idx:
-                    buf_codes[2 * nbuf] = codes[2 * i]
-                    buf_codes[2 * nbuf + 1] = codes[2 * i + 1]
-                    buf_rlen[2 * nbuf] = rlen[2 * i]
-                    buf_rlen[2 * nbuf + 1] = rlen[2 * i + 1]
-                    if wq:
-                        buf_quals[2 * nbuf] = quals[2 * i]
-                        buf_quals[2 * nbuf + 1] = quals[2 * i + 1]
-                    nbuf += 1
-                    if nbuf == self.P:
-                        full_step(buf_codes, buf_rlen, nbuf, buf_quals)
-                        buf_codes = np.full((2 * self.P, self.L), 255,
-                                            dtype=np.uint8)
-                        buf_rlen = np.zeros(2 * self.P, dtype=np.int32)
-                        if wq:
-                            buf_quals = np.zeros((2 * self.P, self.L),
-                                                 dtype=np.uint8)
-                        nbuf = 0
+                # async window: keep several prefilter dispatches in
+                # flight so host repack + device transfer latency (RTT
+                # per dispatch) overlaps device compute; the reader
+                # allocates fresh arrays per batch, so queueing without
+                # copies is safe.  Checkpoint cursor advances on drain.
+                pending.append((codes, rlen, quals, n,
+                                self.prefilter_step(codes, rlen, live)))
+                if len(pending) >= pre_window:
+                    drain_one()
             else:
                 full_step(codes, rlen, n, quals)
-            cursor += n
-            since += n
-            if checkpoint and since >= checkpoint_every:
-                save_ckpt()
-                since = 0
+                cursor += n
+                since += n
+                if checkpoint and since >= checkpoint_every:
+                    save_ckpt()
+                    since = 0
+        while pending:
+            drain_one()
         if prefilter and nbuf:
             full_step(buf_codes, buf_rlen, nbuf, buf_quals)
             nbuf = 0
