@@ -108,10 +108,17 @@ class DeviceAlignRunner:
         from ..io.native_reader import NativeBatchReader
 
         wq = self.with_qual
+        # prefilter dispatches carry DTK_PREFILTER_MULT x the full-step
+        # batch: the prefilter's per-read device cost is tiny, so bigger
+        # dispatches amortize the per-call round trip (the dominant cost
+        # on remote-attached devices) without touching full-step shapes
+        Pp = self.P * (int(os.environ.get("DTK_PREFILTER_MULT", "4"))
+                       if prefilter else 1)
         if prefilter:
-            if not hasattr(self, "prefilter_step"):
+            if getattr(self, "prefilter_P", None) != Pp:
                 self.prefilter_step = da.make_prefilter_step(
-                    self.drp, cfg, self.P, self.L)
+                    self.drp, cfg, Pp, self.L)
+                self.prefilter_P = Pp
             self.n_prefiltered = 0
             buf_codes = np.full((2 * self.P, self.L), 255, dtype=np.uint8)
             buf_rlen = np.zeros(2 * self.P, dtype=np.int32)
@@ -122,6 +129,11 @@ class DeviceAlignRunner:
         done, pre_state = (self._load_checkpoint(checkpoint)
                            if checkpoint else (0, None))
         if prefilter and pre_state is not None:
+            # the saved cursor is aligned to the writing run's dispatch
+            # size; resuming with a different one would replay/skip pairs
+            assert int(pre_state.get("pre_P", Pp)) == Pp, \
+                "resume needs the same DTK_PREFILTER_MULT as the " \
+                "checkpointing run"
             # resume the survivor repack buffer saved with the cursor
             buf_codes = pre_state["buf_codes"]
             buf_rlen = pre_state["buf_rlen"]
@@ -132,7 +144,7 @@ class DeviceAlignRunner:
         cursor = 0
         since = 0
         reader = NativeBatchReader(
-            path, self.P, self.L, is_fastq=cfg.is_fastq,
+            path, Pp, self.L, is_fastq=cfg.is_fastq,
             min_read_size=cfg.cth + cfg.ksize - 1, with_titles=False,
             with_quals=wq)
 
@@ -222,7 +234,8 @@ class DeviceAlignRunner:
             extra = {}
             if prefilter:
                 extra = dict(buf_codes=buf_codes, buf_rlen=buf_rlen,
-                             nbuf=nbuf, n_prefiltered=self.n_prefiltered)
+                             nbuf=nbuf, n_prefiltered=self.n_prefiltered,
+                             pre_P=Pp)
                 if wq:
                     extra["buf_quals"] = buf_quals
             if self.retry_E:
@@ -272,7 +285,7 @@ class DeviceAlignRunner:
                 cursor += n
                 continue
             if prefilter:
-                live = np.zeros(self.P, dtype=bool)
+                live = np.zeros(Pp, dtype=bool)
                 live[:n] = True
                 # async window: keep several prefilter dispatches in
                 # flight so host repack + device transfer latency (RTT

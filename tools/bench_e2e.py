@@ -102,6 +102,7 @@ def main():
     # steady-state: second pass reuses the compiled programs
     al2 = DeviceAlignRunner(rpgg, cfg, batch_pairs=4096, max_read_len=160)
     al2.prefilter_step = al.prefilter_step
+    al2.prefilter_P = getattr(al, "prefilter_P", None)
     al2.step = al.step
     t0 = time.time()
     al2.run_file_native(reads, prefilter=True)
