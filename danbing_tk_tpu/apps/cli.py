@@ -8,6 +8,7 @@ mapkmers) plus the build/call pipelines.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -76,6 +77,14 @@ def _cmd_build(args):
     from ..pipeline.build import build_rpgg
 
     gs = [line.split()[0] for line in open(args.genomes)]
+    if args.paf:
+        from ..pipeline.liftover import lift_tr
+
+        for kv in args.paf:
+            g, paths = kv.split("=", 1)
+            lift_tr(paths.split(","), args.refTR,
+                    os.path.join(args.workdir, g),
+                    min_len=args.lift_min_len)
     prune_reads = dict(kv.split("=", 1) for kv in args.prune_reads or [])
     pan = build_rpgg(args.workdir, args.indir, gs, args.refTR, ksize=args.k,
                      FS=args.fs, TRWINDOW=args.trwindow,
@@ -289,6 +298,13 @@ def main(argv=None):
     b.add_argument("--dist-merge", type=int, default=700)
     b.add_argument("-p", type=int, default=1,
                    help="MBE worker processes (X3 parity)")
+    b.add_argument("--paf", action="append", metavar="G=H0.paf,H1.paf",
+                   help="run native LiftTR from minimap2 PAFs "
+                        "(minimap2 {asm} {ref} -x asm5 -c --cs=long) to "
+                        "produce the per-genome tmp1 beds, replacing "
+                        "paftools.js+bedtools")
+    b.add_argument("--lift-min-len", type=int, default=50_000,
+                   help="liftover alignment-length gate (paftools -l)")
     b.add_argument("--prune-reads", action="append", metavar="G=READS",
                    help="genome=reads-path; enables the raw->prune->PB "
                    "graph path (GenRaw/GenPrunedGenomeGraph) per genome")

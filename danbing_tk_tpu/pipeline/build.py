@@ -1,9 +1,10 @@
 """RPGG build orchestration (L6) — replaces the reference's Snakemake DAG
 (pipeline/GoodPanGenomeGraph.snakefile) with plain Python steps.
 
-Stages (JointTRAnnotation onward; upstream whole-genome liftover needs an
-external aligner exactly as in the reference -- minimap2/paftools -- and
-consumes their output beds):
+Stages (JointTRAnnotation onward; the upstream MapRef2Asm stage needs
+the external minimap2 aligner exactly as in the reference, but its PAF
+output feeds the NATIVE LiftTR (pipeline/liftover.py, `build --paf`) --
+paftools.js/bedtools are no longer required):
 
   1. support counts   : refTR bed + per-hap tmp1 beds -> pan.tr.mbe.v0.bed
                         (bedtools map -c 1 -o count equivalent)
