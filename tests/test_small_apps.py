@@ -42,3 +42,14 @@ def test_mapkmers(golden_dir, tmp_path):
             if not line.startswith(">"):
                 total += int(line.split()[1])
     assert out.sum() == total
+
+
+def test_mapkmers_byte_exact(golden_dir, tmp_path):
+    # vs the reference binary on a permuting/dropping panbed
+    # (tools/make_golden_mapkmers.py), incl. umap output order
+    mapkmers(os.path.join(golden_dir, "mapkmers.panbed"), 3,
+             os.path.join(golden_dir, "pan.tr.kmers"),
+             os.path.join(golden_dir, "g0.tr.kmers"), str(tmp_path / "o"))
+    gold = open(os.path.join(golden_dir, "mapkmers.golden.kmers"),
+                "rb").read()
+    assert (tmp_path / "o.kmers").read_bytes() == gold
