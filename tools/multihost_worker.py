@@ -51,9 +51,35 @@ def main():
             if keep(zlib.crc32(pair_title.encode())):
                 out.write("\n".join(lines[i:i + 2]) + "\n")
 
-    al = HostAligner(RPGG(pan),
-                     AlignConfig(ksize=21, cth=20, okam=False, nm_tr=20))
-    al.run_file(shard)
+    cfg = AlignConfig(ksize=21, cth=20, okam=False, nm_tr=20)
+    ckpt = os.environ.get("DTK_WORKER_CKPT")
+    if ckpt:
+        # crash-resume drill: device runner with periodic checkpointing;
+        # DTK_WORKER_FAULT=N kills the process (exit 17, simulating
+        # preemption/OOM) right after the first checkpoint past N pairs
+        from danbing_tk_tpu.engine.align_runner import DeviceAlignRunner
+
+        fault_after = int(os.environ.get("DTK_WORKER_FAULT", "0"))
+        al = DeviceAlignRunner(RPGG(pan), cfg, batch_pairs=256,
+                               max_read_len=192)
+        cursor0 = al._load_checkpoint(ckpt.replace("%d", str(pid)))[0]
+        print(f"[worker {pid}] resume cursor={cursor0}", file=sys.stderr,
+              flush=True)
+        if fault_after:
+            save = al._save_checkpoint
+
+            def save_and_die(path, cursor, extra=None):
+                save(path, cursor, extra)
+                print(f"[worker {pid}] injected fault at cursor={cursor}",
+                      file=sys.stderr, flush=True)
+                os._exit(17)
+
+            al._save_checkpoint = save_and_die
+        al.run_file(shard, checkpoint=ckpt.replace("%d", str(pid)),
+                    checkpoint_every=fault_after or 10 ** 9)
+    else:
+        al = HostAligner(RPGG(pan), cfg)
+        al.run_file(shard)
     merged = global_merge(al.flat_counts())
     np.save(os.path.join(outdir, f"merged.{pid}.npy"), merged)
     print(f"[worker {pid}] devices={jax.device_count()} "
