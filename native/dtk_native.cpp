@@ -50,16 +50,46 @@ struct Reader {
     bool fastq = false;
     int min_read_size = 0;
     std::unordered_map<std::string, PendingRead> pending;
-    std::string line;
+    // one-record lookahead: properly interleaved PE streams (bam2pe /
+    // samtools fasta -n output — the production input) pair every record
+    // with its immediate neighbor, so holding the last unpaired record
+    // outside the hashmap removes the map traffic from the hot path.
+    // Membership semantics are identical: "pending" = map + held slot.
+    bool have_held = false;
+    std::string held_title;
+    PendingRead held;
+    // block-buffered line scanning: fgetc-per-char tops out ~20 MB/s
+    // (stdio locking per call) and starved the device on WGS-sized
+    // streams; a 4 MB read buffer + memchr runs at GB/s.
+    std::vector<char> buf;
+    size_t pos = 0, len = 0;
+    bool eof = false;
+
+    Reader() : buf(4 << 20) {}
+
+    bool refill_() {
+        if (eof) return false;
+        len = fread(buf.data(), 1, buf.size(), f);
+        pos = 0;
+        if (len == 0) { eof = true; return false; }
+        return true;
+    }
 
     bool getline_(std::string& out) {
         out.clear();
-        int c;
-        while ((c = fgetc(f)) != EOF) {
-            if (c == '\n') return true;
-            out.push_back((char)c);
+        for (;;) {
+            if (pos >= len && !refill_()) return !out.empty();
+            const char* base = buf.data() + pos;
+            size_t avail = len - pos;
+            const char* nl = (const char*)memchr(base, '\n', avail);
+            if (nl) {
+                out.append(base, nl - base);
+                pos += (nl - base) + 1;
+                return true;
+            }
+            out.append(base, avail);
+            pos = len;
         }
-        return !out.empty();
     }
 };
 
@@ -117,14 +147,24 @@ int64_t dtk_reader_next_batch_q(void* rp, uint8_t* codes, int32_t* rlen,
         }
         if (title[0] == '>' || title[0] == '@') title.erase(0, 1);
         prune_pe(title);
-        auto it = r->pending.find(title);
-        if (it == r->pending.end()) {
-            r->pending.emplace(std::move(title),
-                               PendingRead{std::move(seq), std::move(qual)});
-            continue;
+        PendingRead mate;
+        if (r->have_held && r->held_title == title) {
+            mate = std::move(r->held);
+            r->have_held = false;
+        } else {
+            auto it = r->pending.find(title);
+            if (it == r->pending.end()) {
+                if (r->have_held)
+                    r->pending.emplace(std::move(r->held_title),
+                                       std::move(r->held));
+                r->held_title = std::move(title);
+                r->held = PendingRead{std::move(seq), std::move(qual)};
+                r->have_held = true;
+                continue;
+            }
+            mate = std::move(it->second);
+            r->pending.erase(it);
         }
-        PendingRead mate = std::move(it->second);
-        r->pending.erase(it);
         if ((int)seq.size() < r->min_read_size ||
             (int)mate.seq.size() < r->min_read_size)
             continue;
