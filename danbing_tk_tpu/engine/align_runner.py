@@ -254,15 +254,19 @@ class DeviceAlignRunner:
             surv = np.asarray(fut)[:n]
             idx = np.nonzero(surv)[0]
             self.n_prefiltered += int(n - len(idx))
-            for i in idx:
-                buf_codes[2 * nbuf] = codes[2 * i]
-                buf_codes[2 * nbuf + 1] = codes[2 * i + 1]
-                buf_rlen[2 * nbuf] = rlen[2 * i]
-                buf_rlen[2 * nbuf + 1] = rlen[2 * i + 1]
+            # block-copy survivors into the repack buffer (chunked at
+            # full-step boundaries); row indices interleave the two mates
+            taken = 0
+            while taken < len(idx):
+                chunk = idx[taken: taken + (self.P - nbuf)]
+                taken += len(chunk)
+                src = np.stack([2 * chunk, 2 * chunk + 1], axis=1).ravel()
+                dst = slice(2 * nbuf, 2 * (nbuf + len(chunk)))
+                buf_codes[dst] = codes[src]
+                buf_rlen[dst] = rlen[src]
                 if wq:
-                    buf_quals[2 * nbuf] = quals[2 * i]
-                    buf_quals[2 * nbuf + 1] = quals[2 * i + 1]
-                nbuf += 1
+                    buf_quals[dst] = quals[src]
+                nbuf += len(chunk)
                 if nbuf == self.P:
                     full_step(buf_codes, buf_rlen, nbuf, buf_quals)
                     buf_codes = np.full((2 * self.P, self.L), 255,
