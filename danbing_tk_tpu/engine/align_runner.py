@@ -116,8 +116,22 @@ class DeviceAlignRunner:
                        if prefilter else 1)
         if prefilter:
             if getattr(self, "prefilter_P", None) != Pp:
-                self.prefilter_step = da.make_prefilter_step(
-                    self.drp, cfg, Pp, self.L)
+                if os.environ.get("DTK_PREFILTER_HOSTQ", "1") != "0":
+                    # host-sampled queries: upload ~32 B/read instead of
+                    # the L-byte code rows (transfer is the wall on
+                    # ingest-bound runs); decision-identical
+                    qstep = da.make_prefilter_step_q(self.drp, cfg, Pp)
+                    k, nf = cfg.ksize, cfg.n_filter
+
+                    def _pre(codes, rlen, live, _q=qstep, _k=k, _nf=nf):
+                        qlo, qhi, valid, nonshort = \
+                            K.sample_subfilter_queries(codes, rlen, _k, _nf)
+                        return _q(qlo, qhi, valid, nonshort, live)
+
+                    self.prefilter_step = _pre
+                else:
+                    self.prefilter_step = da.make_prefilter_step(
+                        self.drp, cfg, Pp, self.L)
                 self.prefilter_P = Pp
             self.n_prefiltered = 0
             buf_codes = np.full((2 * self.P, self.L), 255, dtype=np.uint8)

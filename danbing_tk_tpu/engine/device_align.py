@@ -349,6 +349,36 @@ def make_prefilter_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
     return lambda codes, rlen, live: jitted(codes, rlen, live)
 
 
+def make_prefilter_step_q(drp: DeviceRPGG, cfg: AlignConfig, P: int,
+                          jit: bool = True):
+    """Prefilter over host-sampled queries (kmers_np.sample_subfilter_queries):
+    the dispatch uploads nf u32-pair queries per read instead of the
+    L-byte code rows (~4x less transfer on the ingest-bound production
+    path).  Decision-identical to make_prefilter_step.
+
+    Returns step(qlo, qhi, valid, nonshort, live) -> survive (P,) bool.
+    """
+    nmf = cfg.nm_filter
+    const_dbi = [jnp.asarray(t) for t, _ in drp.dbi_tab.levels]
+    dbi_salts = [s for _, s in drp.dbi_tab.levels]
+
+    def step(qlo, qhi, valid, nonshort, live, dbi_tabs=None):
+        dbi_lv = list(zip(
+            dbi_tabs if dbi_tabs is not None else const_dbi, dbi_salts))
+        found, _ = dt.lookup_bucket_jax(drp.dbi_tab, qlo, qhi,
+                                        levels_dev=dbi_lv)
+        read_pass = (found & valid).sum(axis=1) >= nmf
+        return (read_pass & nonshort).reshape(P, 2).all(axis=1) & live
+
+    if not jit:
+        return step
+    jitted = jax.jit(step)
+    if os.environ.get("DTK_TABLE_ARGS"):
+        return lambda qlo, qhi, valid, nonshort, live: jitted(
+            qlo, qhi, valid, nonshort, live, const_dbi)
+    return jitted
+
+
 def qmask_batch(quals: np.ndarray, rlen: np.ndarray, qth: int,
                 k: int) -> np.ndarray:
     """Vectorized qString2qMask (aQueryFasta_thread.h:1043-1078) over a

@@ -179,3 +179,44 @@ def build_kmer_graph(
 def _revcomp_str(seq: str) -> str:
     comp = str.maketrans("ACGTacgtNn", "TGCAtgcaNn")
     return seq.translate(comp)[::-1]
+
+
+def sample_subfilter_queries(codes: np.ndarray, rlen: np.ndarray, k: int,
+                             nf: int):
+    """Host-side subfilter query sampling over a packed (B, L) read batch.
+
+    Decision-identical to the device ``prefilter_sample``
+    (engine/device_align.py): the nf evenly-spaced canonical k-mers per
+    read (reference subfilter, aQueryFasta_thread.cpp:172-188), EMPTY-
+    masked where the window is invalid.  Computing the queries on the
+    host lets the prefilter dispatch upload nf u32-pair queries per read
+    (~32 B) instead of the full L-byte code row — the transfer is the
+    wall on ingest-bound production runs.
+
+    Returns (qlo, qhi) (B, nf) u32, valid (B, nf) bool, nonshort (B,).
+    """
+    B, L = codes.shape
+    NKW = L - k + 1
+    nk = np.maximum(rlen.astype(np.int32) - (k - 1), 0)
+    S = nk // (nf - 1)
+    starts = np.empty((B, nf), np.int32)
+    for j in range(nf - 1):
+        starts[:, j] = j * S
+    starts[:, nf - 1] = nk - 1
+    np.clip(starts, 0, NKW - 1, out=starts)
+
+    rows = np.arange(B)[:, None, None]
+    win = codes[rows, starts[..., None] + np.arange(k)]      # (B, nf, k)
+    wvalid = (win != 255).all(axis=-1) & (starts + k <= rlen[:, None])
+    c = win.astype(np.uint64)
+    fwd = np.zeros((B, nf), np.uint64)
+    rc = np.zeros((B, nf), np.uint64)
+    for j in range(k):
+        fwd |= c[..., j] << np.uint64(2 * (k - 1 - j))
+        rc |= (np.uint64(3) - c[..., j]) << np.uint64(2 * j)
+    km = np.minimum(fwd, rc)
+    valid = wvalid & (starts < nk[:, None])
+    sent = np.uint64(0xFFFFFFFF)
+    qlo = np.where(valid, km & sent, sent).astype(np.uint32)
+    qhi = np.where(valid, km >> np.uint64(32), sent).astype(np.uint32)
+    return qlo, qhi, valid, nk > 0
