@@ -122,10 +122,11 @@ class DeviceAlignRunner:
                     # ingest-bound runs); decision-identical
                     qstep = da.make_prefilter_step_q(self.drp, cfg, Pp)
                     k, nf = cfg.ksize, cfg.n_filter
+                    from ..io.native_reader import sample_queries
 
-                    def _pre(codes, rlen, live, _q=qstep, _k=k, _nf=nf):
-                        qlo, qhi, valid, nonshort = \
-                            K.sample_subfilter_queries(codes, rlen, _k, _nf)
+                    def _pre(codes, rlen, live, _q=qstep, _k=k, _nf=nf,
+                             _s=sample_queries):
+                        qlo, qhi, valid, nonshort = _s(codes, rlen, _k, _nf)
                         return _q(qlo, qhi, valid, nonshort, live)
 
                     self.prefilter_step = _pre
@@ -191,8 +192,16 @@ class DeviceAlignRunner:
                       _decode_qual(quals[2 * i + 1], rlen[2 * i + 1]))
             self.referee.process_pair(">r", s1, s2, -1, qs)
 
+        # full steps are dispatched, then PROCESSED a few steps later
+        # (fs_pending): the packed referee mask travels device->host via
+        # an async copy so the per-step result fetch (a full round trip
+        # on remote-attached devices) overlaps the next steps' compute.
+        # FIFO processing keeps referee/retry side effects in dispatch
+        # order, so outputs are identical to the synchronous loop.
+        fs_pending: deque = deque()
+        fs_window = 3
+
         def run_step(step_fn, codes, rlen, n, quals, allow_retry):
-            nonlocal nret
             live = np.zeros(self.P, dtype=bool)
             live[:n] = True
             if wq:
@@ -201,12 +210,22 @@ class DeviceAlignRunner:
                     self.state, codes, rlen, live, qm)
             else:
                 self.state, out = step_fn(self.state, codes, rlen, live)
-            referee = np.asarray(out["referee"])[:n]
-            for key in ("tie", "ovf", "t2"):
-                self.referee_reasons[key] += int(
-                    np.asarray(out[f"referee_{key}"])[:n].sum())
+            pack = out["referee_pack"]
+            try:
+                pack.copy_to_host_async()
+            except AttributeError:
+                pass
+            fs_pending.append((pack, codes, rlen, n, quals, allow_retry))
+
+        def process_step():
+            nonlocal nret
+            pack, codes, rlen, n, quals, allow_retry = fs_pending.popleft()
+            pk = np.asarray(pack)[:n]
+            referee = (pk & 1) != 0
+            for bit, key in ((2, "tie"), (4, "ovf"), (8, "t2")):
+                self.referee_reasons[key] += int(((pk & bit) != 0).sum())
             if allow_retry and self.retry_E:
-                ovf = np.asarray(out["referee_ovf"])[:n] & referee
+                ovf = ((pk & 4) != 0) & referee
             else:
                 ovf = np.zeros(n, dtype=bool)
             for i in np.nonzero(referee & ~ovf)[0]:
@@ -223,6 +242,10 @@ class DeviceAlignRunner:
                 nret += 1
                 if nret == self.P:
                     flush_retry()
+
+        def drain_steps(to: int = 0):
+            while len(fs_pending) > to:
+                process_step()
 
         def flush_retry():
             nonlocal nret, ret_codes, ret_rlen, ret_quals
@@ -243,8 +266,12 @@ class DeviceAlignRunner:
 
         def full_step(codes, rlen, n, quals=None):
             run_step(self.step, codes, rlen, n, quals, allow_retry=True)
+            drain_steps(fs_window)
 
         def save_ckpt():
+            # referee/retry side effects must be complete up to the saved
+            # cursor; in-flight full steps are part of checkpoint state
+            drain_steps()
             extra = {}
             if prefilter:
                 extra = dict(buf_codes=buf_codes, buf_rlen=buf_rlen,
@@ -310,8 +337,17 @@ class DeviceAlignRunner:
                 # per dispatch) overlaps device compute; the reader
                 # allocates fresh arrays per batch, so queueing without
                 # copies is safe.  Checkpoint cursor advances on drain.
-                pending.append((codes, rlen, quals, n,
-                                self.prefilter_step(codes, rlen, live)))
+                fut = self.prefilter_step(codes, rlen, live)
+                # start the device->host copy of the survivor mask NOW:
+                # fetching at drain time costs a full round trip per
+                # dispatch on remote-attached devices (measured ~50 ms,
+                # the dominant e2e cost); with the async copy the bytes
+                # are local by the time the window drains
+                try:
+                    fut.copy_to_host_async()
+                except AttributeError:
+                    pass
+                pending.append((codes, rlen, quals, n, fut))
                 if len(pending) >= pre_window:
                     drain_one()
             else:
@@ -326,8 +362,10 @@ class DeviceAlignRunner:
         if prefilter and nbuf:
             full_step(buf_codes, buf_rlen, nbuf, buf_quals)
             nbuf = 0
+        drain_steps()
         if self.retry_E:
             flush_retry()
+            drain_steps()
         self.host.flush_batch()
         if checkpoint and since:
             save_ckpt()

@@ -952,6 +952,14 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
             referee_tie=pair_kf & tie & ~tie_res,
             referee_ovf=pair_kf & overflow,
             referee_t2=pair_kf & (~test1 & test2),
+            # all four masks packed into one u8 so the runner pays ONE
+            # device->host fetch per step (each fetch is a full round
+            # trip on remote-attached devices)
+            referee_pack=(
+                referee.astype(jnp.uint8)
+                | ((pair_kf & tie & ~tie_res).astype(jnp.uint8) << 1)
+                | ((pair_kf & overflow).astype(jnp.uint8) << 2)
+                | ((pair_kf & (~test1 & test2)).astype(jnp.uint8) << 3)),
             dst0=dst0, counted=counted, dest=dest, qc_drop=qc_drop,
             bf=bf.astype(jnp.int32),
             kf=kf, hf=hf, rm=rm, af=af,

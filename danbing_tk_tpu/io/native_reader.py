@@ -41,7 +41,34 @@ def _native():
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int64, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64]
         _lib.dtk_reader_close.argtypes = [ctypes.c_void_p]
+        _lib.dtk_sample_queries.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8)]
     return _lib
+
+
+def sample_queries(codes: np.ndarray, rlen: np.ndarray, k: int, nf: int):
+    """Native twin of ops.kmers_np.sample_subfilter_queries (same
+    returns); ~10x the numpy path on the hostq prefilter's hot loop."""
+    lib = _native()
+    B = codes.shape[0]
+    codes = np.ascontiguousarray(codes)
+    rlen = np.ascontiguousarray(rlen, dtype=np.int32)
+    qlo = np.empty((B, nf), np.uint32)
+    qhi = np.empty((B, nf), np.uint32)
+    valid = np.empty((B, nf), np.uint8)
+    nonshort = np.empty(B, np.uint8)
+    lib.dtk_sample_queries(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        rlen.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        B, codes.shape[1], k, nf,
+        qlo.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        qhi.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        nonshort.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return qlo, qhi, valid.view(np.bool_), nonshort.view(np.bool_)
 
 
 class NativeBatchReader:

@@ -203,6 +203,46 @@ int64_t dtk_reader_next_batch(void* rp, uint8_t* codes, int32_t* rlen,
                                    titles_buf, title_stride);
 }
 
+// Sampled subfilter queries — native twin of
+// ops/kmers_np.sample_subfilter_queries (reference subfilter sampling,
+// aQueryFasta_thread.cpp:172-188): the nf evenly-spaced canonical k-mer
+// queries per read over a packed (n, L) code batch.  Invalid windows
+// (N base, short read, out of range) emit the EMPTY sentinel in both
+// u32 halves, matching the device extraction's masking.
+void dtk_sample_queries(const uint8_t* codes, const int32_t* rlen,
+                        int64_t n, int64_t L, int k, int nf,
+                        uint32_t* qlo, uint32_t* qhi, uint8_t* valid,
+                        uint8_t* nonshort) {
+    const int64_t NKW = L - k + 1;
+    for (int64_t r = 0; r < n; ++r) {
+        const uint8_t* row = codes + r * L;
+        int32_t nk = rlen[r] - (k - 1);
+        if (nk < 0) nk = 0;
+        nonshort[r] = nk > 0;
+        int32_t S = (nf > 1) ? nk / (nf - 1) : 0;
+        for (int j = 0; j < nf; ++j) {
+            int64_t s = (j == nf - 1) ? (int64_t)nk - 1 : (int64_t)j * S;
+            if (s < 0) s = 0;
+            if (s > NKW - 1) s = NKW - 1;
+            uint64_t fwd = 0, rc = 0;
+            bool ok = s + k <= rlen[r];
+            if (ok)
+                for (int t = 0; t < k; ++t) {
+                    uint8_t b = row[s + t];
+                    if (b > 3) { ok = false; break; }
+                    fwd = (fwd << 2) | b;
+                    rc |= (uint64_t)(3 - b) << (2 * t);
+                }
+            bool v = ok && s < nk;
+            uint64_t km = fwd < rc ? fwd : rc;
+            int64_t o = r * nf + j;
+            valid[o] = v;
+            qlo[o] = v ? (uint32_t)(km & 0xFFFFFFFFu) : 0xFFFFFFFFu;
+            qhi[o] = v ? (uint32_t)(km >> 32) : 0xFFFFFFFFu;
+        }
+    }
+}
+
 void dtk_reader_close(void* rp) {
     Reader* r = (Reader*)rp;
     if (r->f) fclose(r->f);
