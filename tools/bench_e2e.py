@@ -89,7 +89,11 @@ def main():
     rpgg = RPGG(pan)
     cfg = AlignConfig(ksize=21, cth=20, n_filter=4, nm_filter=1,
                       okam=False)
-    al = DeviceAlignRunner(rpgg, cfg, batch_pairs=4096, max_read_len=160)
+    P = int(os.environ.get("DTK_E2E_P", 4096))
+    E = int(os.environ.get("DTK_E2E_EXPAND", 512))
+    retry = int(os.environ.get("DTK_E2E_RETRY", 0))
+    al = DeviceAlignRunner(rpgg, cfg, batch_pairs=P, max_read_len=160,
+                           expand_cap=E, retry_expand=retry)
     # compile both programs before the timed run (one-time cost per shape)
     t0 = time.time()
     al.run_file_native(reads, prefilter=True)
@@ -100,7 +104,9 @@ def main():
           f"referee={al.n_referee}", file=sys.stderr)
 
     # steady-state: second pass reuses the compiled programs
-    al2 = DeviceAlignRunner(rpgg, cfg, batch_pairs=4096, max_read_len=160)
+    al2 = DeviceAlignRunner(rpgg, cfg, batch_pairs=P, max_read_len=160,
+                            expand_cap=E, retry_expand=retry)
+    al2.retry_step = al.retry_step
     al2.prefilter_step = al.prefilter_step
     al2.prefilter_P = getattr(al, "prefilter_P", None)
     al2.step = al.step
