@@ -162,6 +162,11 @@ class DeviceAlignRunner:
             path, Pp, self.L, is_fastq=cfg.is_fastq,
             min_read_size=cfg.cth + cfg.ksize - 1, with_titles=False,
             with_quals=wq)
+        depth = int(os.environ.get("DTK_READER_PREFETCH", "4"))
+        if depth > 0:
+            from ..io.prefetch import PrefetchIterator
+
+            reader = PrefetchIterator(reader, depth)
 
         # two-phase expansion: overflow pairs from the small-E primary
         # step are re-batched through a big-E device step before any

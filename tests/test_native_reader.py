@@ -81,3 +81,22 @@ def test_native_scrambled_pair_order(tmp_path):
         assert t[1:] == nt
         assert l1 == len(s1) and np.array_equal(c1[:l1], K.encode_bases(s1))
         assert l2 == len(s2) and np.array_equal(c2[:l2], K.encode_bases(s2))
+
+
+def test_prefetch_iterator_order_and_errors():
+    from danbing_tk_tpu.io.prefetch import PrefetchIterator
+
+    assert list(PrefetchIterator(iter(range(100)), depth=3)) == \
+        list(range(100))
+
+    def boom():
+        yield 1
+        raise ValueError("producer died")
+
+    it = iter(PrefetchIterator(boom(), depth=2))
+    assert next(it) == 1
+    try:
+        next(it)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
