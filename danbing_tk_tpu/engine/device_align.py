@@ -194,8 +194,12 @@ def _shifted_cumsum(x):
         [jnp.zeros(x.shape[:-1] + (1,), c.dtype), c[..., :-1]], axis=-1)
 
 
-def _oh_gather(values, idx, W):
+def _oh_gather(values, idx, W, oh=None):
     """In-row gather via one-hot matmul: y[c][p, e] = values[c][p, idx[p,e]].
+
+    ``oh``: optional prebuilt (P, E, W) bf16 selector with at most one
+    1.0 per (p, e) row (rows may be all-zero -> gathered value 0);
+    ``idx`` is ignored when given.
 
     take_along_axis lowers to a serialized gather on TPU (~35 ms for
     (4096,512)); the MXU does the same job in ~3 ms.  All channels share
@@ -214,14 +218,16 @@ def _oh_gather(values, idx, W):
     """
     C = len(values)
     if os.environ.get("DTK_OH_F32"):
-        oh = jax.nn.one_hot(idx, W, dtype=jnp.float32)      # (P, E, W)
+        oh_f = (oh.astype(jnp.float32) if oh is not None
+                else jax.nn.one_hot(idx, W, dtype=jnp.float32))  # (P, E, W)
         stacked = jnp.stack([v.astype(jnp.float32) for v in values],
                             axis=-1)                        # (P, W, C)
-        out = jnp.einsum("pew,pwc->pec", oh, stacked,
+        out = jnp.einsum("pew,pwc->pec", oh_f, stacked,
                          preferred_element_type=jnp.float32,
                          precision=jax.lax.Precision.HIGHEST)
         return [out[..., c].astype(jnp.int32) for c in range(C)]
-    oh = jax.nn.one_hot(idx, W, dtype=jnp.bfloat16)
+    if oh is None:
+        oh = jax.nn.one_hot(idx, W, dtype=jnp.bfloat16)
     halves = []
     for v in values:
         v = v.astype(jnp.int32)
@@ -436,9 +442,16 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
     # remote-tunnel dev environment, arg-passed executions time
     # unreliably (dispatches get elided), while constants measure
     # consistently.  Semantics are identical either way.
+    # vv rides as (ceil(n/8), 8) rows: a wide-row gather + lane select
+    # measures ~2x the 1-D scalar gather on TPU (8.5 vs 16.4 ms for 2M
+    # lookups) — the gather unit fetches a 32 B row per descriptor either
+    # way, so fewer descriptors win
+    nvv = len(drp.vv)
+    vv8 = np.zeros((max(nvv + 7, 8) // 8) * 8, dtype=np.uint32)
+    vv8[:nvv] = drp.vv
     const_tabs = {
         "dbi": [jnp.asarray(t) for t, _ in drp.dbi_tab.levels],
-        "vv": jnp.asarray(drp.vv),
+        "vv": jnp.asarray(vv8.reshape(-1, 8)),
         "trfl": [jnp.asarray(t) for t, _ in drp.trfl_tab.levels],
     }
     salts = {
@@ -464,7 +477,15 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
     def step(state, codes, rlen, live, qmask=None, tabs=None):
         tb = tabs if tabs is not None else const_tabs
         dbi_lv = list(zip(tb["dbi"], salts["dbi"]))
-        vv = tb["vv"]
+        vv8 = tb["vv"]                     # (ceil(nvv/8), 8) rows
+
+        def vv_at(pos):
+            # wide-row gather + lane select (see const_tabs note)
+            p = jnp.clip(pos, 0, nvv - 1 if nvv else 0)
+            rows = vv8[p >> 3]
+            lane1h = (p & 7)[..., None] == jnp.arange(8, dtype=jnp.int32)
+            return jnp.where(lane1h, rows, 0).sum(
+                axis=-1, dtype=jnp.uint32)
         trfl_lv = list(zip(tb["trfl"], salts["trfl"]))
         tre_lv = list(zip(tb["tre"], salts["tre"])) if "tre" in tb else None
         bait_lv = list(zip(tb["bait"], salts["bait"])) \
@@ -536,7 +557,6 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
         nxt = _next_true_idx_excl(newrun)          # next run start (or W)
         run_end = jnp.where(s_use, jnp.minimum(
             nxt, jnp.sum(s_use, axis=-1, keepdims=True)), 0)
-        posW = jnp.arange(W, dtype=jnp.int32)[None, :]
         # run counts = prefix-sum difference between run start and end; the
         # start-side term is the position's own exclusive prefix (no
         # gather), the end-side gather rides one one-hot matmul (MXU)
@@ -558,9 +578,12 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
             return s2, dict(x=s2['stats'][0])
         odd = (rval & 1) == 1
         nmapped = jnp.where(
-            odd, vv[jnp.clip((rval >> 1).astype(jnp.int32), 0,
-                             vv.shape[0] - 1)], 1).astype(jnp.int32)
+            odd, vv_at((rval >> 1).astype(jnp.int32)), 1).astype(jnp.int32)
         nmapped = jnp.where(newrun, nmapped, 0)
+        if DEBUG_STOP == 'vote_nm':
+            s2 = dict(state); s2['stats'] = state['stats'].at[0].add(
+                nmapped.sum().astype(state['stats'].dtype))
+            return s2, dict(x=s2['stats'][0])
 
         # CSR expansion of loci lists into E slots per pair: scatter each
         # run-start POSITION at its expansion offset, then a running max
@@ -572,17 +595,23 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
         overflow = total > E
         starts = csum - nmapped
         eidx = jnp.arange(E, dtype=jnp.int32)[None, :]
-        can_scatter = newrun & (nmapped > 0) & (starts < E)
-        rowsW = jnp.arange(P, dtype=jnp.int32)[:, None].repeat(W, 1)
-        # run starts are strictly increasing and unique per row; masked
-        # runs scatter out of bounds (dropped) so the scatter keeps the
-        # unique+sorted fast path instead of XLA's serialized dedup
-        erun0 = jnp.full((P, E), -1, jnp.int32).at[
-            rowsW, jnp.where(can_scatter, starts, E)].max(
-            posW, mode="drop", unique_indices=True,
-            indices_are_sorted=True)
-        erun = jnp.clip(_cummax(erun0), 0, W - 1)
         evalid_exp = eidx < jnp.minimum(total, E)[:, None]
+        # covering-run selector built DIRECTLY as the one-hot: slot e is
+        # covered by the (unique) run with start <= e < start+nm.  This
+        # replaces a scatter + cummax + arange-gather chain (measured
+        # 11.4 ms at P=4096) with compares that fuse into the one-hot
+        # the gather needs anyway.  Slots past `total` select nothing
+        # and gather 0 — all downstream uses mask by evalid_exp.
+        e3 = eidx[:, :, None]                              # (1, E, 1)
+        st3 = starts[:, None, :]                           # (P, 1, W)
+        cover = (e3 >= st3) & (e3 < st3 + nmapped[:, None, :]) \
+            & newrun[:, None, :]
+        oh_cover = cover.astype(jnp.bfloat16)
+        if DEBUG_STOP == 'vote_erun':
+            s2 = dict(state); s2['stats'] = state['stats'].at[0].add(
+                (cover.sum() + evalid_exp.sum()).astype(
+                    state['stats'].dtype))
+            return s2, dict(x=s2['stats'][0])
         # gather run stats at covering-run positions: one one-hot matmul;
         # rval (u32) and starts ride as exact 16-bit halves
         e_rv_lo, e_rv_hi, e_st_lo, e_st_hi, e_f0, e_r0, e_nm_lo, e_nm_hi = \
@@ -591,17 +620,21 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
                  (rval >> 16).astype(jnp.int32),
                  starts & 0xFFFF, starts >> 16, fcnt, rcnt,
                  nmapped & 0xFFFF, nmapped >> 16],
-                erun, W)
+                None, W, oh=oh_cover)
         e_rval = (e_rv_hi.astype(jnp.uint32) << 16) | \
             e_rv_lo.astype(jnp.uint32)
+        if DEBUG_STOP == 'vote_ohg':
+            s2 = dict(state); s2['stats'] = state['stats'].at[0].add(
+                (e_rval.sum() + e_f0.sum() + e_r0.sum()).astype(
+                    state['stats'].dtype))
+            return s2, dict(x=s2['stats'][0])
         e_starts = (e_st_hi << 16) | e_st_lo
         e_nm = (e_nm_hi << 16) | e_nm_lo          # run's nmappedloci
         e_off = eidx - e_starts
         e_odd = (e_rval & 1) == 1
-        vv_pos = jnp.clip((e_rval >> 1).astype(jnp.int32) + 1 + e_off, 0,
-                          vv.shape[0] - 1)
+        vv_pos = (e_rval >> 1).astype(jnp.int32) + 1 + e_off
         e_locus = jnp.where(
-            e_odd, vv[vv_pos], (e_rval >> 1).astype(jnp.uint32))
+            e_odd, vv_at(vv_pos), (e_rval >> 1).astype(jnp.uint32))
         e_locus = jnp.where(evalid_exp, e_locus, NAN32)
         e_f = jnp.where(evalid_exp, e_f0, 0)
         e_r = jnp.where(evalid_exp, e_r0, 0)
