@@ -16,6 +16,16 @@ class _Fit:
         else:
             tss = float((y ** 2).sum())
         self.rsquared = 1.0 - ssr / tss if tss else 0.0
+        # slope inference (t-test), as eqtl.noPerm uses .bse/.pvalues
+        from scipy import stats as _st
+        n, k = x2.shape
+        dof = max(n - k, 1)
+        sigma2 = ssr / dof
+        xtx_inv = np.linalg.inv(x2.T @ x2)
+        self.bse = np.sqrt(np.diag(sigma2 * xtx_inv))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = self.params / self.bse
+        self.pvalues = 2 * _st.t.sf(np.abs(t), dof)
 
 
 class OLS:
@@ -26,6 +36,7 @@ class OLS:
         return _Fit(self._y, self._x)
 
 
-def add_constant(x):
+def add_constant(x, prepend=True):
     x = np.asarray(x, dtype=float)
-    return np.column_stack([np.ones(len(x)), x])
+    cols = [np.ones(len(x)), x] if prepend else [x, np.ones(len(x))]
+    return np.column_stack(cols)
