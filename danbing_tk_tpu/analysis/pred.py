@@ -61,8 +61,12 @@ def bias_correction_np(gt: np.ndarray, nk_cum, nik_cum, iki, ikc):
         ikis = iki[isi:iei]
         ikmc = ikc[isi:iei].astype(np.float32)
         B = gt[:, ikis] / ikmc[None, :]
-        bias = B.mean(axis=1, dtype=np.float32)
-        m = bias.mean(dtype=np.float32)
+        # strictly SEQUENTIAL f32 sums (cumsum), matching naive C++
+        # accumulation (the executed-reference oracle's eigen_lite shim);
+        # np.mean's pairwise blocking differs in the last ulp
+        bias = np.cumsum(B, axis=1, dtype=np.float32)[:, -1] \
+            / np.float32(B.shape[1])
+        m = np.cumsum(bias, dtype=np.float32)[-1] / np.float32(len(bias))
         if m == 0.0:
             # no sample has any invariant-kmer coverage at this locus:
             # the reference (pred.cpp, Eigen) would divide by zero and
@@ -123,7 +127,9 @@ def run_pred(gt_meta_path: str, ikmer_meta_path: str, out_raw: str,
         for line in f:
             a, b = line.rstrip("\n").split("\t")
             fns.append(a)
-            rds.append(float(b))
+            # parse decimal -> f32 in ONE rounding like the reference's
+            # stof (pred.h:46); float(b) would double-round via f64
+            rds.append(np.float32(b))
     nk_cum, nik_cum, iki, ikc = bio.read_ikmer_meta(ikmer_meta_path)
     nk = int(nk_cum[-1])
     gt = load_gt(fns, nk)

@@ -114,17 +114,20 @@ def write_karray(path: str, vals) -> None:
 
 
 def read_gt_matrix(path: str) -> np.ndarray:
+    """Data is COLUMN-major on disk (Eigen's default layout, written raw
+    by the reference's save_matrix, pred.h:235-248)."""
     with open(path, "rb") as f:
         nrow = int(_r(f, np.uint32, 1)[0])
         ncol = int(_r(f, np.uint32, 1)[0])
-        return _r(f, np.float32, nrow * ncol).reshape(nrow, ncol)
+        return _r(f, np.float32, nrow * ncol).reshape(
+            (nrow, ncol), order="F")
 
 
 def write_gt_matrix(path: str, m) -> None:
     m = np.asarray(m, dtype=np.float32)
     with open(path, "wb") as f:
         np.uint32([m.shape[0], m.shape[1]]).tofile(f)
-        m.tofile(f)
+        np.ascontiguousarray(m.T).tofile(f)
 
 
 def read_ikmer_meta(path: str):
