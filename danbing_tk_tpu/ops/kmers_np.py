@@ -7,7 +7,7 @@ reverse complement of packed k-mers, canonical k-mer = min(fwd, rc), rolling
 k-mer extraction with N-handling (windows containing a non-ACGT base yield the
 sentinel 0xFFFF_FFFF_FFFF_FFFF), and (k+1)-mer edge extraction.
 
-This module is the *oracle* for the device (JAX/Pallas) implementations in
+This module is the *oracle* for the device (JAX) implementations in
 ``danbing_tk_tpu.ops.kmers_jax`` and is itself used on the build side (RPGG
 construction), where throughput is not critical.
 
