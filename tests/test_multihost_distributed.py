@@ -47,7 +47,7 @@ def test_two_controller_global_merge(tmp_path):
         for pid in (0, 1)
     ]
     for p in procs:
-        out, err = p.communicate(timeout=240)
+        out, err = p.communicate(timeout=540)
         assert p.returncode == 0, err.decode()
 
     merged0 = np.load(tmp_path / "merged.0.npy")
@@ -91,7 +91,7 @@ def test_two_controller_crash_resume(tmp_path):
         ]
         errs = []
         for p in procs:
-            out, err = p.communicate(timeout=240)
+            out, err = p.communicate(timeout=540)
             assert p.returncode == want_rc, err.decode()
             errs.append(err.decode())
         return errs
