@@ -17,16 +17,30 @@ reference's Eigen path.
 
 Deviation: the reference leaves Bias columns of skipped loci (no kmers or
 no invariant kmers) as uninitialized memory (pred.h:218); we write 0.
-The reference binary could not be built in this environment (its Eigen
-submodule is absent), so behavior is pinned by spec tests instead of a
-binary golden.
+The reference's Eigen submodule is absent, so the oracle compiles
+pred.cpp against a minimal Eigen-compatible shim (tools/eigen_lite) and
+asserts byte-identical outputs (tests/test_pred.py); spec tests pin the
+zero-mean/NaN edge cases the binary leaves undefined.
 """
 
 from __future__ import annotations
 
+import ctypes
+
 import numpy as np
 
 from ..io import binary as bio
+
+_libc = ctypes.CDLL(None)
+_libc.strtof.restype = ctypes.c_float
+_libc.strtof.argtypes = [ctypes.c_char_p, ctypes.c_void_p]
+
+
+def _parse_f32(s: str) -> np.float32:
+    """Decimal -> f32 in ONE rounding via libc strtof, matching the
+    reference's stof (pred.h:46).  np.float32(s) would round via f64
+    first and can land 1 ulp off at half-ulp boundaries."""
+    return np.float32(_libc.strtof(s.encode(), None))
 
 
 def load_gt(trkmc_paths: list[str], nk: int) -> np.ndarray:
@@ -127,9 +141,7 @@ def run_pred(gt_meta_path: str, ikmer_meta_path: str, out_raw: str,
         for line in f:
             a, b = line.rstrip("\n").split("\t")
             fns.append(a)
-            # parse decimal -> f32 in ONE rounding like the reference's
-            # stof (pred.h:46); float(b) would double-round via f64
-            rds.append(np.float32(b))
+            rds.append(_parse_f32(b))
     nk_cum, nik_cum, iki, ikc = bio.read_ikmer_meta(ikmer_meta_path)
     nk = int(nk_cum[-1])
     gt = load_gt(fns, nk)

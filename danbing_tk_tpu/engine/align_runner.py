@@ -143,12 +143,37 @@ class DeviceAlignRunner:
 
         done, pre_state = (self._load_checkpoint(checkpoint)
                            if checkpoint else (0, None))
+        if pre_state is not None:
+            # the saved cursor granularity and the pending buffers are
+            # only meaningful under the writing run's configuration —
+            # a silent mismatch would drop buffered pairs or replay/skip
+            # reader batches, so refuse loudly instead
+            def _require(key, cur, what):
+                if key in pre_state and int(pre_state[key]) != int(cur):
+                    raise ValueError(
+                        f"checkpoint resume config mismatch: {what} was "
+                        f"{int(pre_state[key])} in the checkpointing run, "
+                        f"now {int(cur)}")
+
+            _require("cfg_P", self.P, "batch_pairs")
+            _require("cfg_retry_E", self.retry_E or 0, "retry_expand")
+            _require("cfg_prefilter", int(bool(prefilter)), "prefilter")
+            if prefilter:
+                _require("pre_P", Pp,
+                         "prefilter dispatch size (DTK_PREFILTER_MULT)")
+            # pre-cfg_* checkpoints: infer the writing run's mode from
+            # which buffers it saved rather than dropping them silently
+            if "buf_codes" in pre_state and not prefilter:
+                raise ValueError("checkpoint was written by a prefilter "
+                                 "run; resume with prefilter=True")
+            if "ret_codes" in pre_state and not self.retry_E \
+                    and int(pre_state.get("nret", 0)) > 0:
+                raise ValueError("checkpoint holds pending retry-buffer "
+                                 "pairs; resume with the same retry_expand")
         if prefilter and pre_state is not None:
-            # the saved cursor is aligned to the writing run's dispatch
-            # size; resuming with a different one would replay/skip pairs
-            assert int(pre_state.get("pre_P", Pp)) == Pp, \
-                "resume needs the same DTK_PREFILTER_MULT as the " \
-                "checkpointing run"
+            if "buf_codes" not in pre_state:
+                raise ValueError("checkpoint was written without "
+                                 "prefilter; resume with prefilter=False")
             # resume the survivor repack buffer saved with the cursor
             buf_codes = pre_state["buf_codes"]
             buf_rlen = pre_state["buf_rlen"]
@@ -277,9 +302,12 @@ class DeviceAlignRunner:
             # referee/retry side effects must be complete up to the saved
             # cursor; in-flight full steps are part of checkpoint state
             drain_steps()
-            extra = {}
+            # config fingerprint — resume refuses on mismatch (pending
+            # buffers + cursor granularity assume this configuration)
+            extra = dict(cfg_P=self.P, cfg_retry_E=self.retry_E or 0,
+                         cfg_prefilter=int(bool(prefilter)))
             if prefilter:
-                extra = dict(buf_codes=buf_codes, buf_rlen=buf_rlen,
+                extra.update(buf_codes=buf_codes, buf_rlen=buf_rlen,
                              nbuf=nbuf, n_prefiltered=self.n_prefiltered,
                              pre_P=Pp)
                 if wq:
@@ -289,7 +317,7 @@ class DeviceAlignRunner:
                              nret=nret, n_retried=self.n_retried)
                 if wq:
                     extra["ret_quals"] = ret_quals
-            self._save_checkpoint(checkpoint, cursor, extra or None)
+            self._save_checkpoint(checkpoint, cursor, extra)
 
         pending: deque = deque()
         pre_window = int(os.environ.get("DTK_PREFILTER_WINDOW", "8"))
@@ -328,40 +356,50 @@ class DeviceAlignRunner:
                 save_ckpt()
                 since = 0
 
-        for rec in reader:
-            codes, rlen, n = rec[0], rec[1], rec[2]
-            quals = rec[4] if wq else None
-            if cursor + n <= done:
-                cursor += n
-                continue
-            if prefilter:
-                live = np.zeros(Pp, dtype=bool)
-                live[:n] = True
-                # async window: keep several prefilter dispatches in
-                # flight so host repack + device transfer latency (RTT
-                # per dispatch) overlaps device compute; the reader
-                # allocates fresh arrays per batch, so queueing without
-                # copies is safe.  Checkpoint cursor advances on drain.
-                fut = self.prefilter_step(codes, rlen, live)
-                # start the device->host copy of the survivor mask NOW:
-                # fetching at drain time costs a full round trip per
-                # dispatch on remote-attached devices (measured ~50 ms,
-                # the dominant e2e cost); with the async copy the bytes
-                # are local by the time the window drains
-                try:
-                    fut.copy_to_host_async()
-                except AttributeError:
-                    pass
-                pending.append((codes, rlen, quals, n, fut))
-                if len(pending) >= pre_window:
-                    drain_one()
-            else:
-                full_step(codes, rlen, n, quals)
-                cursor += n
-                since += n
-                if checkpoint and since >= checkpoint_every:
-                    save_ckpt()
-                    since = 0
+        try:
+            for rec in reader:
+                codes, rlen, n = rec[0], rec[1], rec[2]
+                quals = rec[4] if wq else None
+                if cursor + n <= done:
+                    cursor += n
+                    continue
+                if cursor < done:
+                    raise ValueError(
+                        "checkpoint cursor is not aligned to this run's "
+                        "dispatch size — resume with the same batch_pairs"
+                        "/prefilter configuration as the checkpointing run")
+                if prefilter:
+                    live = np.zeros(Pp, dtype=bool)
+                    live[:n] = True
+                    # async window: keep several prefilter dispatches in
+                    # flight so host repack + device transfer latency (RTT
+                    # per dispatch) overlaps device compute; the reader
+                    # allocates fresh arrays per batch, so queueing without
+                    # copies is safe.  Checkpoint cursor advances on drain.
+                    fut = self.prefilter_step(codes, rlen, live)
+                    # start the device->host copy of the survivor mask NOW:
+                    # fetching at drain time costs a full round trip per
+                    # dispatch on remote-attached devices (measured ~50 ms,
+                    # the dominant e2e cost); with the async copy the bytes
+                    # are local by the time the window drains
+                    try:
+                        fut.copy_to_host_async()
+                    except AttributeError:
+                        pass
+                    pending.append((codes, rlen, quals, n, fut))
+                    if len(pending) >= pre_window:
+                        drain_one()
+                else:
+                    full_step(codes, rlen, n, quals)
+                    cursor += n
+                    since += n
+                    if checkpoint and since >= checkpoint_every:
+                        save_ckpt()
+                        since = 0
+        finally:
+            # abandoning mid-file (exception above) must not leak the
+            # reader's FILE* / prefetch producer thread
+            reader.close()
         while pending:
             drain_one()
         if prefilter and nbuf:

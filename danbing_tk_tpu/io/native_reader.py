@@ -122,3 +122,11 @@ class NativeBatchReader:
                 yield codes, rlen, int(n), titles
         lib.dtk_reader_close(self.h)
         self.h = None
+
+    def close(self):
+        """Release the C FILE* (idempotent; iteration also closes at
+        exhaustion).  Callers that may abandon iteration mid-file must
+        call this, or the handle leaks for the process lifetime."""
+        if self.h is not None:
+            self.lib.dtk_reader_close(self.h)
+            self.h = None

@@ -107,3 +107,23 @@ def write_kmers(path: str, dbs, threshold: int = 0) -> None:
                 if c < threshold:
                     continue
                 f.write(f"{c}\n")
+
+
+def iter_fasta_records(path: str):
+    """Yield (name, sequence) per FASTA record; name is the first
+    whitespace-separated token after '>'.  The one shared FASTA record
+    parser for pipeline glue (build/qc) — keep multi-line handling and
+    case in ONE place."""
+    name, chunks = None, []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith(">"):
+                if name is not None:
+                    yield name, "".join(chunks)
+                name = line[1:].split()[0] if len(line) > 1 else ""
+                chunks = []
+            else:
+                chunks.append(line)
+    if name is not None:
+        yield name, "".join(chunks)

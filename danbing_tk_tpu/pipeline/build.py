@@ -147,21 +147,9 @@ def build_rpgg(workdir: str, indir: str, gs: list[str], ref_tr_bed: str,
 
 
 def _read_fasta(path: str) -> dict[str, str]:
-    recs: dict[str, str] = {}
-    name, cur = None, []
-    with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if line.startswith(">"):
-                if name is not None:
-                    recs[name] = "".join(cur)
-                name = line[1:].split()[0]
-                cur = []
-            else:
-                cur.append(line)
-    if name is not None:
-        recs[name] = "".join(cur)
-    return recs
+    from ..io.text import iter_fasta_records
+
+    return dict(iter_fasta_records(path))
 
 
 def kmer_lift_tmp1(ref_fa: str, ref_tr_bed: str, asm_fa: str,
@@ -251,7 +239,13 @@ def _gen_prune_list(workdir, g, fas, gmap, nloci, ksize, FS, reads,
     prune_file = os.path.join(workdir, f"{g}.prune.kmers")
     with open(raw_il + ".tr.kmers") as fin, open(prune_file, "w") as out:
         for line in fin:
-            if line[0] == ">" or line.split()[1] == "0":
+            fields = line.split()
+            if not fields:
+                continue
+            # numeric compare like the awk filter ('0', '00', '0.0' all
+            # prune); header lines pass through
+            if line[0] == ">" or (len(fields) > 1
+                                  and float(fields[1]) == 0.0):
                 out.write(line)
     return prune_file
 

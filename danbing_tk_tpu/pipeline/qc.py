@@ -66,47 +66,36 @@ def derive_tr_bed(pan_tr_kmers: str, fasta: str, ksize: int = 21):
     locus is annotated (first by scan order on ties), so decoy-derived
     reads stay '.'-annotated and count as FP downstream.
     """
+    from ..io.text import iter_fasta_records
     from ..ops import kmers_np as K
 
-    per_locus: list[set[int]] = []
+    # inverted kmer->loci index: one pass per contig instead of a
+    # per-locus membership scan (same single-pass shape as
+    # build.kmer_lift_tmp1)
+    kmer2loci: dict[int, list[int]] = {}
+    locus = -1
     with open(pan_tr_kmers) as f:
         for line in f:
             if line[0] == ">":
-                per_locus.append(set())
+                locus += 1
             else:
-                per_locus[-1].add(int(line.split()[0]))
+                kmer2loci.setdefault(int(line.split()[0]),
+                                     []).append(locus)
 
     # best[locus] = (-nhits, scan_idx, gctg, start, end)
     best: dict[int, tuple[int, int, str, int, int]] = {}
-    name = None
-    chunks: list[str] = []
-    scan_idx = 0
-
-    def scan(name, seq):
-        nonlocal scan_idx
+    for scan_idx, (name, seq) in enumerate(iter_fasta_records(fasta)):
         gctg, off = parse_fragment_name(name)
         kms = K.seq_to_kmers(K.encode_bases(seq), ksize, canonical=True)
-        for locus, kset in enumerate(per_locus):
-            hits = [i for i, x in enumerate(kms.tolist()) if x in kset]
-            if hits:
-                cand = (-len(hits), scan_idx, gctg,
-                        off + hits[0], off + hits[-1] + ksize)
-                if locus not in best or cand < best[locus]:
-                    best[locus] = cand
-        scan_idx += 1
-
-    with open(fasta) as f:
-        for line in f:
-            line = line.strip()
-            if line.startswith(">"):
-                if name is not None:
-                    scan(name, "".join(chunks))
-                name = line[1:].split()[0]
-                chunks = []
-            else:
-                chunks.append(line)
-        if name is not None:
-            scan(name, "".join(chunks))
+        hits: dict[int, list[int]] = {}
+        for i, km in enumerate(kms.tolist()):
+            for li in kmer2loci.get(km, ()):
+                hits.setdefault(li, []).append(i)
+        for li, pos in hits.items():
+            cand = (-len(pos), scan_idx, gctg,
+                    off + pos[0], off + pos[-1] + ksize)
+            if li not in best or cand < best[li]:
+                best[li] = cand
 
     intervals: dict[str, list[tuple[int, int, int]]] = {}
     for locus, (_, _, gctg, start, end) in best.items():

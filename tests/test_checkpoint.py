@@ -97,3 +97,50 @@ def test_prefilter_checkpoint_resume(golden_dir, tmp_path):
     nm = np.asarray(r2.state["nmapread"])[:-1] + r2.host.nmapread
     nm_w = np.asarray(full.state["nmapread"])[:-1] + full.host.nmapread
     np.testing.assert_array_equal(nm, nm_w)
+
+
+def test_checkpoint_config_mismatch_refused(golden_dir, tmp_path):
+    """Resuming under a different configuration than the checkpointing
+    run must refuse loudly (silently dropping the saved repack/retry
+    buffers would skip pairs)."""
+    cfg = AlignConfig(ksize=21, cth=20, n_filter=4, nm_filter=1, okam=False)
+    reads = os.path.join(golden_dir, "reads.fa")
+    ck = str(tmp_path / "mm.ckpt")
+
+    r1 = DeviceAlignRunner(RPGG(os.path.join(golden_dir, "pan")), cfg,
+                           batch_pairs=256, max_read_len=192)
+    r1.run_file_native(reads, prefilter=True, checkpoint=ck,
+                       checkpoint_every=512)
+    assert os.path.exists(ck)
+
+    # same config, file already complete: resume is a no-op, no error
+    r_ok = DeviceAlignRunner(RPGG(os.path.join(golden_dir, "pan")), cfg,
+                             batch_pairs=256, max_read_len=192)
+    r_ok.run_file_native(reads, prefilter=True, checkpoint=ck,
+                         checkpoint_every=512)
+
+    # prefilter flag flipped
+    r2 = DeviceAlignRunner(RPGG(os.path.join(golden_dir, "pan")), cfg,
+                           batch_pairs=256, max_read_len=192)
+    with pytest.raises(ValueError, match="prefilter"):
+        r2.run_file_native(reads, prefilter=False, checkpoint=ck)
+
+    # different batch_pairs
+    r3 = DeviceAlignRunner(RPGG(os.path.join(golden_dir, "pan")), cfg,
+                           batch_pairs=512, max_read_len=192)
+    with pytest.raises(ValueError, match="batch_pairs"):
+        r3.run_file_native(reads, prefilter=True, checkpoint=ck)
+
+    # different prefilter dispatch size
+    old = os.environ.get("DTK_PREFILTER_MULT")
+    os.environ["DTK_PREFILTER_MULT"] = "2"
+    try:
+        r4 = DeviceAlignRunner(RPGG(os.path.join(golden_dir, "pan")), cfg,
+                               batch_pairs=256, max_read_len=192)
+        with pytest.raises(ValueError, match="dispatch size"):
+            r4.run_file_native(reads, prefilter=True, checkpoint=ck)
+    finally:
+        if old is None:
+            os.environ.pop("DTK_PREFILTER_MULT", None)
+        else:
+            os.environ["DTK_PREFILTER_MULT"] = old

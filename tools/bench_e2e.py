@@ -33,6 +33,9 @@ def synth_reads(path, npairs, frac, seqs, L=150, err=0.0,
     comp = np.zeros(256, dtype=np.uint8)
     for a, b in zip(b"ACGTN", b"TGCAN"):
         comp[a] = b
+    b2i = np.zeros(256, dtype=np.int64)
+    for i_, a in enumerate(b"ACGT"):
+        b2i[a] = i_
     nl = np.uint8(ord("\n"))
     with open(path, "wb") as f:
         done = 0
@@ -48,7 +51,12 @@ def synth_reads(path, npairs, frac, seqs, L=150, err=0.0,
                 if err:
                     for r in (r1, r2):
                         m = np.flatnonzero(rng.random(L) < err)
-                        r[i, m] = bases[rng.integers(0, 4, len(m))]
+                        # substitute with a DIFFERENT base so the nominal
+                        # rate is the effective rate (matches bench.py's
+                        # exact-mode injection)
+                        cur = b2i[r[i, m]]
+                        r[i, m] = bases[(cur + rng.integers(
+                            1, 4, len(m))) % 4]
             r1 = np.concatenate([r1, np.full((n, 1), nl)], axis=1)
             r2 = np.concatenate([r2, np.full((n, 1), nl)], axis=1)
             f.write(b"".join(
