@@ -152,8 +152,10 @@ def main():
     from tools.bench_e2e import synth_reads
 
     npairs = int(os.environ.get("DTK_BENCH_E2E_PAIRS", 2_000_000))
+    # v2: error injection always substitutes a different base, so the
+    # nominal 0.2%/base is the effective rate (old cache was ~0.15%)
     reads = os.path.join(os.path.dirname(pan),
-                         f"e2e_{npairs}_0.05_0.002.fa")
+                         f"e2e_v2_{npairs}_0.05_0.002.fa")
     if not os.path.exists(reads):
         synth_reads(reads, npairs, 0.05, seqs, L=150, err=0.002)
     e2e_cfg = AlignConfig(ksize=21, cth=20, n_filter=4, nm_filter=1,
@@ -162,15 +164,22 @@ def main():
     t0 = time.time()
     al.run_file_native(reads, prefilter=True)   # warm (compile + cache)
     warm = time.time() - t0
-    al2 = DeviceAlignRunner(rpgg, e2e_cfg, batch_pairs=P, max_read_len=L)
-    al2.prefilter_step = al.prefilter_step
-    al2.prefilter_P = getattr(al, "prefilter_P", None)
-    al2.step = al.step
-    t0 = time.time()
-    al2.run_file_native(reads, prefilter=True)
-    e2e_dt = time.time() - t0
+    # median of 3 steady passes: the per-pass window is only a few
+    # seconds at 2M pairs, so a single pass is noisy (+-6% observed)
+    times = []
+    for _ in range(3):
+        al2 = DeviceAlignRunner(rpgg, e2e_cfg, batch_pairs=P,
+                                max_read_len=L)
+        al2.prefilter_step = al.prefilter_step
+        al2.prefilter_P = getattr(al, "prefilter_P", None)
+        al2.step = al.step
+        t0 = time.time()
+        al2.run_file_native(reads, prefilter=True)
+        times.append(time.time() - t0)
+    e2e_dt = sorted(times)[1]
     e2e_rate = 2 * npairs / e2e_dt
-    print(f"# funnel e2e: {e2e_dt:.1f}s steady ({warm:.1f}s warm) "
+    print(f"# funnel e2e: {e2e_dt:.1f}s steady median of "
+          f"{[round(t, 1) for t in times]} ({warm:.1f}s warm) "
           f"prefiltered={al2.n_prefiltered}/{npairs} "
           f"referee={al2.n_referee}", file=sys.stderr)
     print(json.dumps({
