@@ -69,3 +69,23 @@ def test_hostq_prefilter_decision_identity(golden_dir):
             codes, rlen, cfg.ksize, cfg.n_filter)
         got = np.asarray(pre_q(qlo, qhi, valid, nonshort, live))
         np.testing.assert_array_equal(want, got)
+
+
+def test_native_prefilter_fastq_bait(golden_dir):
+    """The full production flagship combination in one test: native C++
+    fastq ingest + device prefilter + quality-masked bait filter.
+    Counts must equal the Python-ingest device runner (itself validated
+    byte-exact against the reference's fastq+bait golden)."""
+    reads = os.path.join(golden_dir, "reads.sim.fq")
+    cfg = AlignConfig(ksize=21, cth=20, n_filter=4, nm_filter=1,
+                      bait=True, is_fastq=True, okam=False)
+    a = DeviceAlignRunner(RPGG(os.path.join(golden_dir, "pan"), bait=True),
+                          cfg, batch_pairs=1024, max_read_len=192)
+    a.run_file(reads)
+    b = DeviceAlignRunner(RPGG(os.path.join(golden_dir, "pan"), bait=True),
+                          cfg, batch_pairs=1024, max_read_len=192)
+    b.run_file_native(reads, prefilter=True)
+    np.testing.assert_array_equal(a.flat_counts(), b.flat_counts())
+    nm_a = np.asarray(a.state["nmapread"])[:-1] + a.host.nmapread
+    nm_b = np.asarray(b.state["nmapread"])[:-1] + b.host.nmapread
+    np.testing.assert_array_equal(nm_a, nm_b)
