@@ -72,6 +72,16 @@ def main():
                 save(path, cursor, extra)
                 print(f"[worker {pid}] injected fault at cursor={cursor}",
                       file=sys.stderr, flush=True)
+                # Barrier before dying: the workers reach their first
+                # checkpoint at different wall times, and if one exits
+                # while the other is still mid-shard, the coordination
+                # service FATAL-kills the survivor (exit 1) before it
+                # reaches its own injected fault.  Simultaneous "node
+                # preemption" is also the realistic drill (a pod/slice
+                # preemption takes every controller down together).
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices("dtk-fault-drill")
                 os._exit(17)
 
             al._save_checkpoint = save_and_die
