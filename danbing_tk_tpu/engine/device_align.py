@@ -66,6 +66,9 @@ class DeviceRPGG:
     bait_tab: dt.BucketTable | None = None  # (kmer, locus) -> (mi<<8)|ma
     qc: np.ndarray | None = None            # u8[nloci] pass mask
     graph_tab: dt.BucketTable | None = None  # (nc kmer, locus) -> edge mask
+    member_tab: dt.BucketTable | None = None  # kmer -> (membership only):
+    # 2-plane rows for the prefilter, which never reads vals — the
+    # narrower row gathers measurably faster than the 4-plane dbi rows
 
     def add_graph(self, rpgg: RPGG):
         """Builds the dBG transition table for the threading DFA walk
@@ -87,9 +90,8 @@ class DeviceRPGG:
                            count=len(rpgg.dbi))
         vals = np.fromiter(rpgg.dbi.values(), dtype=np.uint32,
                            count=len(rpgg.dbi))
-        dbi_tab = dt.build_bucket_table(keys, vals)
 
-        # trfl composite table; TR slot ids follow the .trkmc.ar flatten
+        # trfl annotation entries; TR slot ids follow the .trkmc.ar flatten
         # order (per-locus insertion order of pan.tr.kmers).  Value
         # encoding: (slot << 3) | (in_tr << 2) | ann; ann 1=flank 2=TR
         # (flank wins when a kmer is in both sets, assignTRkmc :1464-1467,
@@ -114,9 +116,30 @@ class DeviceRPGG:
                     tl.append(li)
                     tv.append(ANN_FL)
         offsets[rpgg.nloci] = slot
+
+        # A single-locus k-mer (even dbi encoding) has exactly ONE trfl
+        # entry — (km, its locus) — so its annotation value rides in the
+        # dbi row itself (second value plane; same gather, descriptor-
+        # bound so the wider row is free).  Only multi-locus (vv) k-mers
+        # keep composite-table entries, which shrinks the trfl table to
+        # the sharing tail and turns most annotation-probe lanes into
+        # constant-bucket no-ops (see make_step).
+        tk_a = np.array(tk, dtype=np.uint64)
+        tl_a = np.array(tl, dtype=np.uint32)
+        tv_a = np.array(tv, dtype=np.uint32)
+        korder = np.argsort(keys, kind="stable")
+        sk = keys[korder]
+        pos = np.searchsorted(sk, tk_a)
+        assert len(sk) == 0 or (sk[np.minimum(pos, len(sk) - 1)]
+                                == tk_a).all(), \
+            "trfl kmer missing from kmerDBi"
+        entry_even = (vals[korder[pos]] & 1) == 0 if len(tk_a) else \
+            np.zeros(0, dtype=bool)
+        ann = np.zeros(len(keys), dtype=np.uint32)
+        ann[korder[pos[entry_even]]] = tv_a[entry_even]
+        dbi_tab = dt.build_bucket_table(keys, vals, vals2=ann)
         trfl_tab = dt.build_bucket_table(
-            np.array(tk, dtype=np.uint64), np.array(tv, dtype=np.uint32),
-            np.array(tl, dtype=np.uint32))
+            tk_a[~entry_even], tv_a[~entry_even], tl_a[~entry_even])
 
         tre_tab = None
         if with_tre:
@@ -146,8 +169,10 @@ class DeviceRPGG:
                     np.array(bk, np.uint64), np.array(bv, np.uint32),
                     np.array(bl, np.uint32))
         qc = rpgg.qc_filter
+        member_tab = dt.build_bucket_table(keys, None)
         return cls(rpgg.nloci, dbi_tab, vv, trfl_tab,
-                   tre_tab, offsets, slot, bait_tab, qc)
+                   tre_tab, offsets, slot, bait_tab, qc,
+                   member_tab=member_tab)
 
 
 # ---------------------------------------------------------------------------
@@ -334,16 +359,18 @@ def make_prefilter_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
     """
     k = cfg.ksize
     nf, nmf = cfg.n_filter, cfg.nm_filter
+    # membership-only table when available (narrower rows, see DeviceRPGG)
+    ptab = drp.member_tab if drp.member_tab is not None else drp.dbi_tab
     # tables ride as jit arguments, not closure constants (see make_step)
-    const_dbi = [jnp.asarray(t) for t, _ in drp.dbi_tab.levels]
-    dbi_salts = [s for _, s in drp.dbi_tab.levels]
+    const_dbi = [jnp.asarray(t) for t, _ in ptab.levels]
+    dbi_salts = [s for _, s in ptab.levels]
 
     def step(codes, rlen, live, dbi_tabs=None):
         dbi_lv = list(zip(
             dbi_tabs if dbi_tabs is not None else const_dbi, dbi_salts))
         qlo, qhi, valid, nk = prefilter_sample(codes, rlen, k, nf, L)
-        found, _ = dt.lookup_bucket_jax(drp.dbi_tab, qlo, qhi,
-                                        levels_dev=dbi_lv)
+        found = dt.lookup_bucket_jax(ptab, qlo, qhi,
+                                     levels_dev=dbi_lv)[0]
         return prefilter_decide(found, valid, nk, live, nmf, P)
 
     if not jit:
@@ -365,14 +392,15 @@ def make_prefilter_step_q(drp: DeviceRPGG, cfg: AlignConfig, P: int,
     Returns step(qlo, qhi, valid, nonshort, live) -> survive (P,) bool.
     """
     nmf = cfg.nm_filter
-    const_dbi = [jnp.asarray(t) for t, _ in drp.dbi_tab.levels]
-    dbi_salts = [s for _, s in drp.dbi_tab.levels]
+    ptab = drp.member_tab if drp.member_tab is not None else drp.dbi_tab
+    const_dbi = [jnp.asarray(t) for t, _ in ptab.levels]
+    dbi_salts = [s for _, s in ptab.levels]
 
     def step(qlo, qhi, valid, nonshort, live, dbi_tabs=None):
         dbi_lv = list(zip(
             dbi_tabs if dbi_tabs is not None else const_dbi, dbi_salts))
-        found, _ = dt.lookup_bucket_jax(drp.dbi_tab, qlo, qhi,
-                                        levels_dev=dbi_lv)
+        found = dt.lookup_bucket_jax(ptab, qlo, qhi,
+                                     levels_dev=dbi_lv)[0]
         read_pass = (found & valid).sum(axis=1) >= nmf
         return (read_pass & nonshort).reshape(P, 2).all(axis=1) & live
 
@@ -499,9 +527,9 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
         any_valid = ex["any_valid"]
 
         if probe_fns and "dbi" in probe_fns:
-            found, val = probe_fns["dbi"](klo, khi)
+            found, val, annv = probe_fns["dbi"](klo, khi)
         else:
-            found, val = dt.lookup_bucket_jax(
+            found, val, annv = dt.lookup_bucket_jax(
                 drp.dbi_tab, klo, khi, levels_dev=dbi_lv)
         found = found & kvalid
 
@@ -813,14 +841,28 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
             bf_pair = jnp.zeros((P,), bool)
 
         # ---- TR/flank annotation vs dst0 ----
+        # Single-locus k-mers (even dbi encoding) carry their annotation
+        # in the dbi row's second value plane: (km, dst) is in the trfl
+        # DB iff dst == the k-mer's own locus, so no composite probe is
+        # needed.  Only multi-locus (odd/vv) k-mers probe the (shrunken)
+        # composite table; all other lanes are masked to a constant
+        # bucket-0 query, which the gather unit serves from one cached
+        # row.  Identical (afound, aval) to probing the full table.
         dst0_read = dst0[:, None].repeat(2, 1).reshape(-1)  # (2P,)
         q_loc = dst0_read[:, None].repeat(NKW, 1)
+        ev_hit = found & ((val & 1) == 0) & ((val >> 1) == q_loc)
+        need = found & ((val & 1) == 1)
+        pq_lo = jnp.where(need, klo, EMPTY)
+        pq_hi = jnp.where(need, khi, EMPTY)
+        pq_loc = jnp.where(need, q_loc, 0)
         if probe_fns and "trfl" in probe_fns:
-            afound, aval = probe_fns["trfl"](klo, khi, q_loc)
+            afound, aval = probe_fns["trfl"](pq_lo, pq_hi, pq_loc)
         else:
             afound, aval = dt.lookup_bucket_jax(
-                drp.trfl_tab, klo, khi, q_loc=q_loc, levels_dev=trfl_lv)
-        afound = afound & kvalid
+                drp.trfl_tab, pq_lo, pq_hi, q_loc=pq_loc,
+                levels_dev=trfl_lv)
+        afound = (afound | ev_hit) & kvalid
+        aval = jnp.where(ev_hit, annv, aval)
         afound = afound & dev_pair.repeat(2)[:, None]
         ann = jnp.where(afound, (aval & 3).astype(jnp.int32), 0)
         slot = (aval >> 3).astype(jnp.int32)

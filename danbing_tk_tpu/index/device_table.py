@@ -181,12 +181,18 @@ def _salted_hash_np(lo, hi, locus, salt: int):
 
 
 class BucketTable:
-    """levels: list of (packed (nb, BUCKET, W) u32, salt). W = 3 for plain
-    keys (lo, hi, val), 4 for composite (lo, hi, locus, val)."""
+    """levels: list of (packed (nb, BUCKET, W) u32, salt).  Plane layout
+    per slot: lo, hi, [locus if composite], val, [val2 if nval == 2] —
+    W = 2 + composite + nval.  A second value plane rides in the SAME
+    row, so fetching it is free (the gather unit is descriptor-bound,
+    not width-bound): the dbi table uses it to carry the TR/flank
+    annotation of single-locus k-mers, eliminating most composite-table
+    annotation probes."""
 
-    def __init__(self, levels, composite: bool):
+    def __init__(self, levels, composite: bool, nval: int = 1):
         self.levels = levels
         self.composite = composite
+        self.nval = nval
 
     @property
     def nbytes(self):
@@ -195,14 +201,22 @@ class BucketTable:
 
 def build_bucket_table(keys, vals, loci=None, lam: float = 5.0,
                        max_levels: int = 8,
-                       fat_threshold: int = 0) -> BucketTable:
+                       fat_threshold: int = 0,
+                       vals2=None) -> BucketTable:
+    """vals=None builds a membership-only table (nval=0, 2-plane rows):
+    lookups return found + a zero val.  The prefilter uses this — it only
+    needs membership, and the narrower row measurably speeds the gather
+    at level-0 bucket density."""
     keys = np.asarray(keys, dtype=np.uint64)
-    vals = np.asarray(vals, dtype=np.uint32)
+    vals = None if vals is None else np.asarray(vals, dtype=np.uint32)
     composite = loci is not None
-    W = 4 if composite else 3
+    nval = (0 if vals is None else 1) + (0 if vals2 is None else 1)
+    assert not (vals is None and vals2 is not None)
+    W = 2 + int(composite) + nval
     lo = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     hi = (keys >> np.uint64(32)).astype(np.uint32)
     loc = None if loci is None else np.asarray(loci, dtype=np.uint32)
+    v2 = None if vals2 is None else np.asarray(vals2, dtype=np.uint32)
 
     idx = np.arange(len(keys))
     levels = []
@@ -255,24 +269,33 @@ def build_bucket_table(keys, vals, loci=None, lam: float = 5.0,
         tab[bb, pp, 1] = hi[sel]
         if composite:
             tab[bb, pp, 2] = loc[sel]
-        tab[bb, pp, W - 1] = vals[sel]
+        vp = 2 + int(composite)
+        if vals is not None:
+            tab[bb, pp, vp] = vals[sel]
+        if v2 is not None:
+            tab[bb, pp, vp + 1] = v2[sel]
         # store rows FLAT (nb, BUCKET*W): 3-D row gathers lower ~3x slower
         # than 2-D on TPU; lookups reshape after the gather
         levels.append((tab.reshape(nb, BUCKET * W), s))
         idx = idx[order[~fits]]
         salt = s + 1
         nlevel += 1
-    return BucketTable(levels, composite)
+    return BucketTable(levels, composite, nval)
 
 
 def lookup_bucket_np(tab: BucketTable, keys, loci=None):
+    """Host-side probe.  Returns (found, val) — or (found, val, val2)
+    when the table carries a second value plane (nval == 2)."""
     keys = np.asarray(keys, dtype=np.uint64)
     lo = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     hi = (keys >> np.uint64(32)).astype(np.uint32)
     loc = None if loci is None else np.asarray(loci, dtype=np.uint32)
-    W = 4 if tab.composite else 3
+    nval = getattr(tab, "nval", 1)
+    W = 2 + int(tab.composite) + nval
+    vp = 2 + int(tab.composite)
     found = np.zeros(len(keys), dtype=bool)
     val = np.zeros(len(keys), dtype=np.uint32)
+    val2 = np.zeros(len(keys), dtype=np.uint32) if nval == 2 else None
     for t, salt in tab.levels:
         nb = t.shape[0]
         b = _salted_hash_np(lo, hi, loc, salt) & np.uint32(nb - 1)
@@ -281,10 +304,16 @@ def lookup_bucket_np(tab: BucketTable, keys, loci=None):
         if tab.composite:
             m &= rows[:, :, 2] == loc[:, None]
         hit = m.any(axis=1)
-        v = np.where(m, rows[:, :, W - 1], 0).max(axis=1)
         new = hit & ~found
-        val[new] = v[new]
+        if nval >= 1:
+            v = np.where(m, rows[:, :, vp], 0).max(axis=1)
+            val[new] = v[new]
+        if nval == 2:
+            v2 = np.where(m, rows[:, :, vp + 1], 0).max(axis=1)
+            val2[new] = v2[new]
         found |= hit
+    if nval == 2:
+        return found, val, val2
     return found, val
 
 
@@ -315,15 +344,19 @@ def lookup_bucket_jax(tab: BucketTable, q_lo, q_hi, q_loc=None,
     levels_dev: optional pre-uploaded [(jnp tab, salt)] to avoid re-upload.
     EMPTY-key queries never match (EMPTY slots hold EMPTY in the locus
     plane too, but a real query's (lo,hi) can't be all-ones for k<=31).
+    Returns (found, val), or (found, val, val2) when tab.nval == 2.
     """
     import jax.numpy as jnp
 
-    W = 4 if tab.composite else 3
+    nval = getattr(tab, "nval", 1)
+    W = 2 + int(tab.composite) + nval
+    vp = 2 + int(tab.composite)
     levels = levels_dev if levels_dev is not None else [
         (jnp.asarray(t), s) for t, s in tab.levels]
 
     found = jnp.zeros(q_lo.shape, dtype=jnp.bool_)
     val = jnp.zeros(q_lo.shape, dtype=jnp.uint32)
+    val2 = jnp.zeros(q_lo.shape, dtype=jnp.uint32) if nval == 2 else None
     for t, salt in levels:
         nb = t.shape[0]
         b = bucket_index_jax(q_lo, q_hi, q_loc, salt, nb)
@@ -333,10 +366,16 @@ def lookup_bucket_jax(tab: BucketTable, q_lo, q_hi, q_loc=None,
         if tab.composite:
             m &= rows[..., 2] == q_loc[..., None]
         hit = m.any(axis=-1)
-        v = jnp.where(m, rows[..., W - 1], 0).max(axis=-1)
         new = hit & ~found
-        val = jnp.where(new, v, val)
+        if nval >= 1:
+            v = jnp.where(m, rows[..., vp], 0).max(axis=-1)
+            val = jnp.where(new, v, val)
+        if nval == 2:
+            v2 = jnp.where(m, rows[..., vp + 1], 0).max(axis=-1)
+            val2 = jnp.where(new, v2, val2)
         found = found | hit
+    if nval == 2:
+        return found, val, val2
     return found, val
 
 

@@ -79,10 +79,12 @@ def make_sharded_step(drp: da.DeviceRPGG, cfg: AlignConfig, mesh: Mesh,
 
         def dbi_probe(q_lo, q_hi):
             meta, comp = metas["dbi"]
-            f, v = si.lookup_bucket_sharded(
+            f, v, a = si.lookup_bucket_sharded(
                 ctx["dbi"], meta, comp,
-                q_lo.reshape(-1), q_hi.reshape(-1))
-            return f.reshape(q_lo.shape), v.reshape(q_lo.shape)
+                q_lo.reshape(-1), q_hi.reshape(-1),
+                nval=getattr(drp.dbi_tab, "nval", 1))
+            return (f.reshape(q_lo.shape), v.reshape(q_lo.shape),
+                    a.reshape(q_lo.shape))
 
         def trfl_probe(q_lo, q_hi, q_loc):
             meta, comp = metas["trfl"]

@@ -51,9 +51,10 @@ def shard_table(tab: dt.BucketTable, ndev: int):
 
 
 def lookup_bucket_sharded(local_levels, meta, composite, q_lo, q_hi,
-                          q_loc=None, axis="data"):
+                          q_loc=None, axis="data", nval: int = 1):
     """Collective probe inside shard_map.  q_* are this chip's local
-    query block; returns (found, val) for that block."""
+    query block; returns (found, val) for that block — (found, val,
+    val2) when the table carries a second value plane (nval == 2)."""
     d = jax.lax.axis_index(axis)
     B = q_lo.shape[0]
     g_lo = jax.lax.all_gather(q_lo, axis, tiled=True)
@@ -62,9 +63,11 @@ def lookup_bucket_sharded(local_levels, meta, composite, q_lo, q_hi,
     if q_loc is not None:
         g_loc = jax.lax.all_gather(q_loc, axis, tiled=True)
 
-    W = 4 if composite else 3
+    W = 2 + int(composite) + nval
+    vp = 2 + int(composite)
     found = jnp.zeros(g_lo.shape, dtype=jnp.bool_)
     val = jnp.zeros(g_lo.shape, dtype=jnp.uint32)
+    val2 = jnp.zeros(g_lo.shape, dtype=jnp.uint32) if nval == 2 else None
     for t, (salt, nb, rows) in zip(local_levels, meta):
         b = dt.bucket_index_jax(g_lo, g_hi, g_loc, salt, nb)
         off = d * rows
@@ -77,9 +80,13 @@ def lookup_bucket_sharded(local_levels, meta, composite, q_lo, q_hi,
             m &= rows_g[..., 2] == g_loc[..., None]
         m &= mine[..., None]
         hit = m.any(axis=-1)
-        v = jnp.where(m, rows_g[..., W - 1], 0).max(axis=-1)
         new = hit & ~found
-        val = jnp.where(new, v, val)
+        if nval >= 1:
+            v = jnp.where(m, rows_g[..., vp], 0).max(axis=-1)
+            val = jnp.where(new, v, val)
+        if nval == 2:
+            v2 = jnp.where(m, rows_g[..., vp + 1], 0).max(axis=-1)
+            val2 = jnp.where(new, v2, val2)
         found = found | hit
     # exactly one chip can own a key's bucket -> sums recover the answer
     found = jax.lax.psum_scatter(
@@ -87,6 +94,11 @@ def lookup_bucket_sharded(local_levels, meta, composite, q_lo, q_hi,
     val = jax.lax.psum_scatter(
         val.astype(jnp.int32), axis, scatter_dimension=0,
         tiled=True).astype(jnp.uint32)
+    if nval == 2:
+        val2 = jax.lax.psum_scatter(
+            val2.astype(jnp.int32), axis, scatter_dimension=0,
+            tiled=True).astype(jnp.uint32)
+        return found[:B], val[:B], val2[:B]
     return found[:B], val[:B]
 
 
@@ -102,7 +114,8 @@ def make_sharded_prefilter(drp: da.DeviceRPGG, cfg: AlignConfig,
     assert P_global % ndev == 0
     P_local = P_global // ndev
     k, nf, nmf = cfg.ksize, cfg.n_filter, cfg.nm_filter
-    shards, meta = shard_table(drp.dbi_tab, ndev)
+    ptab = drp.member_tab if drp.member_tab is not None else drp.dbi_tab
+    shards, meta = shard_table(ptab, ndev)
     nlv = len(meta)
     # stack per-level shards with a leading device axis; shard_map slices
     # each chip its own row block
@@ -115,9 +128,10 @@ def make_sharded_prefilter(drp: da.DeviceRPGG, cfg: AlignConfig,
         levels = [t[0] for t in tabs_l]
         qlo, qhi, valid, nk = da.prefilter_sample(codes_l, rlen_l, k, nf, L)
         q_shape = qlo.shape
-        found, _ = lookup_bucket_sharded(
-            levels, meta, drp.dbi_tab.composite,
-            qlo.reshape(-1), qhi.reshape(-1))
+        found = lookup_bucket_sharded(
+            levels, meta, ptab.composite,
+            qlo.reshape(-1), qhi.reshape(-1),
+            nval=getattr(ptab, "nval", 1))[0]
         found = found.reshape(q_shape)
         return da.prefilter_decide(found, valid, nk, live_l, nmf, P_local)
 

@@ -84,7 +84,8 @@ def main():
 
     def probe(qlo, qhi, tabs):
         lv = list(zip(tabs, salts))
-        f, v = dt.lookup_bucket_jax(drp.dbi_tab, qlo, qhi, levels_dev=lv)
+        f, v = dt.lookup_bucket_jax(drp.dbi_tab, qlo, qhi,
+                                    levels_dev=lv)[:2]
         # chain-able reduction so dependent timing loops work
         return (f.sum().astype(jnp.uint32) + v.max()), f
 

@@ -122,29 +122,46 @@ def build_scale_rpgg(nloci: int = 80_000, kmers_per_locus: int = 1500,
     log(f"dbi {nkeys/1e6:.1f}M keys, vv {len(vv)/1e6:.1f}M "
         f"in {time.time()-t0:.1f}s")
 
+    # single-locus k-mers carry their annotation value in the dbi row's
+    # second plane (slot id == flat entry index, trkmc flatten order);
+    # only shared (vv) k-mers keep composite trfl entries — see
+    # DeviceRPGG.build for the probe-fusion rationale
+    ann = np.where(
+        shared, 0,
+        (order[grp_start].astype(np.int64) << 3) | ANN_TR
+    ).astype(np.uint32)
+
     t0 = time.time()
-    dbi_tab = dt.build_bucket_table(keys, vals)
+    dbi_tab = dt.build_bucket_table(keys, vals, vals2=ann)
+    member_tab = dt.build_bucket_table(keys, None)
     log(f"dbi table {dbi_tab.nbytes/1e9:.2f} GB "
-        f"({len(dbi_tab.levels)} levels) in {time.time()-t0:.1f}s")
+        f"({len(dbi_tab.levels)} levels) + member "
+        f"{member_tab.nbytes/1e9:.2f} GB in {time.time()-t0:.1f}s")
+    ent_shared_flat = np.empty(len(flat_k), dtype=bool)
+    ent_shared_flat[order] = ent_shared
     del keys, vals, order, sk, sl, first, grp, counts
 
     trfl_tab = None
     if with_trfl:
         # slot ids in trkmc flatten order (per-locus, sorted-kmer order)
         t0 = time.time()
-        slots = np.arange(nslots, dtype=np.uint64)
+        slots = np.flatnonzero(ent_shared_flat).astype(np.uint64)
         tv = ((slots << np.uint64(3)) | np.uint64(ANN_TR)).astype(np.uint32)
-        trfl_tab = dt.build_bucket_table(flat_k, tv, flat_l)
+        trfl_tab = dt.build_bucket_table(
+            flat_k[ent_shared_flat], tv, flat_l[ent_shared_flat])
         log(f"trfl table {trfl_tab.nbytes/1e9:.2f} GB "
-            f"({len(trfl_tab.levels)} levels) in {time.time()-t0:.1f}s")
+            f"({len(trfl_tab.levels)} levels, "
+            f"{int(ent_shared_flat.sum())/1e6:.1f}M shared entries) "
+            f"in {time.time()-t0:.1f}s")
     drp = DeviceRPGG(nloci, dbi_tab, vv, trfl_tab, None,
-                     offsets, nslots)
+                     offsets, nslots, member_tab=member_tab)
     return drp, seqs
 
 
 def _tab_to_arrs(prefix: str, tab, arrs: dict):
     arrs[f"{prefix}_nlev"] = np.int64(len(tab.levels))
     arrs[f"{prefix}_composite"] = np.int64(tab.composite)
+    arrs[f"{prefix}_nval"] = np.int64(getattr(tab, "nval", 1))
     for i, (t, s) in enumerate(tab.levels):
         arrs[f"{prefix}_t{i}"] = t
         arrs[f"{prefix}_s{i}"] = np.int64(s)
@@ -153,8 +170,9 @@ def _tab_to_arrs(prefix: str, tab, arrs: dict):
 def _tab_from_arrs(prefix: str, z):
     levels = [(z[f"{prefix}_t{i}"], int(z[f"{prefix}_s{i}"]))
               for i in range(int(z[f"{prefix}_nlev"]))]
-    return dt.BucketTable(levels, composite=bool(int(
-        z[f"{prefix}_composite"])))
+    return dt.BucketTable(
+        levels, composite=bool(int(z[f"{prefix}_composite"])),
+        nval=int(z[f"{prefix}_nval"]) if f"{prefix}_nval" in z else 1)
 
 
 def build_scale_rpgg_cached(nloci, kmers_per_locus, with_trfl=True,
@@ -163,16 +181,18 @@ def build_scale_rpgg_cached(nloci, kmers_per_locus, with_trfl=True,
     so reruns load the flat tables from an npz instead."""
     os.makedirs(cache_dir, exist_ok=True)
     seed = kw.get("seed", 9)
+    # v3: fused-annotation dbi (nval=2) + shared-only trfl + member table
     path = os.path.join(
         cache_dir,
-        f"scale_{nloci}_{kmers_per_locus}_{seed}_{int(with_trfl)}.npz")
+        f"scale_{nloci}_{kmers_per_locus}_{seed}_{int(with_trfl)}_v3.npz")
     if os.path.exists(path):
         t0 = time.time()
         z = np.load(path)
         trfl = _tab_from_arrs("trfl", z) if int(z["with_trfl"]) else None
         drp = DeviceRPGG(int(z["nloci"]), _tab_from_arrs("dbi", z),
                          z["vv"], trfl, None, z["locus_offsets"],
-                         int(z["nslots"]))
+                         int(z["nslots"]),
+                         member_tab=_tab_from_arrs("member", z))
         print(f"[scale-index] cache hit {path} "
               f"({time.time()-t0:.0f}s)", file=sys.stderr)
         return drp, z["seqs"]
@@ -183,6 +203,7 @@ def build_scale_rpgg_cached(nloci, kmers_per_locus, with_trfl=True,
             "nslots": np.int64(drp.nslots),
             "with_trfl": np.int64(drp.trfl_tab is not None)}
     _tab_to_arrs("dbi", drp.dbi_tab, arrs)
+    _tab_to_arrs("member", drp.member_tab, arrs)
     if drp.trfl_tab is not None:
         _tab_to_arrs("trfl", drp.trfl_tab, arrs)
     np.savez(path, **arrs)
