@@ -130,13 +130,26 @@ class DeviceRPGG:
         korder = np.argsort(keys, kind="stable")
         sk = keys[korder]
         pos = np.searchsorted(sk, tk_a)
-        assert len(sk) == 0 or (sk[np.minimum(pos, len(sk) - 1)]
-                                == tk_a).all(), \
-            "trfl kmer missing from kmerDBi"
+        if len(tk_a):
+            assert len(sk) > 0, "trfl kmers present but kmerDBi is empty"
+            assert (sk[np.minimum(pos, len(sk) - 1)] == tk_a).all(), \
+                "trfl kmer missing from kmerDBi"
         entry_even = (vals[korder[pos]] & 1) == 0 if len(tk_a) else \
             np.zeros(0, dtype=bool)
+        ee = korder[pos[entry_even]]
+        # an even (single-locus) dbi entry must (a) point at the same
+        # locus as its trfl entry — ev_hit attaches the annotation at the
+        # dbi-encoded locus — and (b) own exactly ONE trfl entry; an
+        # index violating either would silently corrupt annotations, so
+        # fail loudly at build time instead
+        assert (tl_a[entry_even] == (vals[ee] >> 1)).all(), \
+            "single-locus dbi entry locus != its trfl entry locus"
+        if len(ee):
+            ees = np.sort(ee)
+            assert not (ees[1:] == ees[:-1]).any(), \
+                "multiple trfl entries map to one single-locus dbi entry"
         ann = np.zeros(len(keys), dtype=np.uint32)
-        ann[korder[pos[entry_even]]] = tv_a[entry_even]
+        ann[ee] = tv_a[entry_even]
         dbi_tab = dt.build_bucket_table(keys, vals, vals2=ann)
         trfl_tab = dt.build_bucket_table(
             tk_a[~entry_even], tv_a[~entry_even], tl_a[~entry_even])
@@ -825,7 +838,7 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
                 bnew, jnp.minimum(bnxt, bused) - bposW, 0) & 0xFF
             bq_lo = jnp.where(bnew, bs_lo, EMPTY)
             bq_hi = jnp.where(bnew, bs_hi, EMPTY)
-            bfound, bval = dt.lookup_bucket_jax(
+            bfound, bval, _ = dt.lookup_bucket_jax(
                 drp.bait_tab, bq_lo, bq_hi,
                 q_loc=dst0[:, None].repeat(2, 1).reshape(-1)[:, None]
                 .repeat(NKW, 1),
@@ -858,7 +871,7 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
         if probe_fns and "trfl" in probe_fns:
             afound, aval = probe_fns["trfl"](pq_lo, pq_hi, pq_loc)
         else:
-            afound, aval = dt.lookup_bucket_jax(
+            afound, aval, _ = dt.lookup_bucket_jax(
                 drp.trfl_tab, pq_lo, pq_hi, q_loc=pq_loc,
                 levels_dev=trfl_lv)
         afound = (afound | ev_hit) & kvalid
@@ -961,7 +974,7 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
             # no-correction path exactly, so device handles them and the
             # rest fall back to the host threading engine.
             nclo, nchi = ex["nclo"], ex["nchi"]
-            gfound, gmask = dt.lookup_bucket_jax(
+            gfound, gmask, _ = dt.lookup_bucket_jax(
                 drp.graph_tab, nclo, nchi, q_loc=q_loc, levels_dev=graph_lv)
             pos = jnp.arange(NKW, dtype=jnp.int32)[None, :]
             in_read = pos < nk[:, None]
@@ -1047,7 +1060,7 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
         if with_annot:
             out["ann"] = ann.astype(jnp.uint8)
         if tre_lv is not None:
-            efound, _ = dt.lookup_bucket_jax(
+            efound, _, _ = dt.lookup_bucket_jax(
                 drp.tre_tab, ex["elo"], ex["ehi"],
                 q_loc=dst0_read[:, None].repeat(NE, 1), levels_dev=tre_lv)
             pos_e = jnp.arange(NE, dtype=jnp.int32)[None, :]

@@ -284,8 +284,9 @@ def build_bucket_table(keys, vals, loci=None, lam: float = 5.0,
 
 
 def lookup_bucket_np(tab: BucketTable, keys, loci=None):
-    """Host-side probe.  Returns (found, val) — or (found, val, val2)
-    when the table carries a second value plane (nval == 2)."""
+    """Host-side probe.  Always returns (found, val, val2); val2 is a
+    zeros plane when the table has no second value plane, so call-site
+    arity never depends on table configuration (round-2 advice)."""
     keys = np.asarray(keys, dtype=np.uint64)
     lo = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     hi = (keys >> np.uint64(32)).astype(np.uint32)
@@ -295,7 +296,7 @@ def lookup_bucket_np(tab: BucketTable, keys, loci=None):
     vp = 2 + int(tab.composite)
     found = np.zeros(len(keys), dtype=bool)
     val = np.zeros(len(keys), dtype=np.uint32)
-    val2 = np.zeros(len(keys), dtype=np.uint32) if nval == 2 else None
+    val2 = np.zeros(len(keys), dtype=np.uint32)
     for t, salt in tab.levels:
         nb = t.shape[0]
         b = _salted_hash_np(lo, hi, loc, salt) & np.uint32(nb - 1)
@@ -312,9 +313,7 @@ def lookup_bucket_np(tab: BucketTable, keys, loci=None):
             v2 = np.where(m, rows[:, :, vp + 1], 0).max(axis=1)
             val2[new] = v2[new]
         found |= hit
-    if nval == 2:
-        return found, val, val2
-    return found, val
+    return found, val, val2
 
 
 def bucket_index_jax(q_lo, q_hi, q_loc, salt, nb):
@@ -344,7 +343,8 @@ def lookup_bucket_jax(tab: BucketTable, q_lo, q_hi, q_loc=None,
     levels_dev: optional pre-uploaded [(jnp tab, salt)] to avoid re-upload.
     EMPTY-key queries never match (EMPTY slots hold EMPTY in the locus
     plane too, but a real query's (lo,hi) can't be all-ones for k<=31).
-    Returns (found, val), or (found, val, val2) when tab.nval == 2.
+    Always returns (found, val, val2); val2 is zeros when the table has
+    no second value plane, keeping call-site arity fixed.
     """
     import jax.numpy as jnp
 
@@ -356,7 +356,7 @@ def lookup_bucket_jax(tab: BucketTable, q_lo, q_hi, q_loc=None,
 
     found = jnp.zeros(q_lo.shape, dtype=jnp.bool_)
     val = jnp.zeros(q_lo.shape, dtype=jnp.uint32)
-    val2 = jnp.zeros(q_lo.shape, dtype=jnp.uint32) if nval == 2 else None
+    val2 = jnp.zeros(q_lo.shape, dtype=jnp.uint32)
     for t, salt in levels:
         nb = t.shape[0]
         b = bucket_index_jax(q_lo, q_hi, q_loc, salt, nb)
@@ -374,9 +374,7 @@ def lookup_bucket_jax(tab: BucketTable, q_lo, q_hi, q_loc=None,
             v2 = jnp.where(m, rows[..., vp + 1], 0).max(axis=-1)
             val2 = jnp.where(new, v2, val2)
         found = found | hit
-    if nval == 2:
-        return found, val, val2
-    return found, val
+    return found, val, val2
 
 
 def lookup_jax(t_lo, t_hi, t_val, q_lo, q_hi, max_probes: int,

@@ -54,6 +54,12 @@ def make_sharded_step(drp: da.DeviceRPGG, cfg: AlignConfig, mesh: Mesh,
     """
     ndev = mesh.devices.size
     assert P_global % ndev == 0
+    # the annotation fast path reads the dbi row's second value plane
+    # (ev_hit), and dbi_probe unpacks three planes unconditionally —
+    # an older single-plane table would silently mis-annotate, so
+    # refuse it up front (round-2 advice)
+    assert getattr(drp.dbi_tab, "nval", 1) == 2, \
+        "device dbi table must carry the annotation value plane (nval=2)"
     P_local = P_global // ndev
 
     tab_args = ()
@@ -82,13 +88,13 @@ def make_sharded_step(drp: da.DeviceRPGG, cfg: AlignConfig, mesh: Mesh,
             f, v, a = si.lookup_bucket_sharded(
                 ctx["dbi"], meta, comp,
                 q_lo.reshape(-1), q_hi.reshape(-1),
-                nval=getattr(drp.dbi_tab, "nval", 1))
+                nval=drp.dbi_tab.nval)
             return (f.reshape(q_lo.shape), v.reshape(q_lo.shape),
                     a.reshape(q_lo.shape))
 
         def trfl_probe(q_lo, q_hi, q_loc):
             meta, comp = metas["trfl"]
-            f, v = si.lookup_bucket_sharded(
+            f, v, _ = si.lookup_bucket_sharded(
                 ctx["trfl"], meta, comp, q_lo.reshape(-1),
                 q_hi.reshape(-1), q_loc=q_loc.reshape(-1))
             return f.reshape(q_lo.shape), v.reshape(q_lo.shape)

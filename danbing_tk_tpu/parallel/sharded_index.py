@@ -53,8 +53,9 @@ def shard_table(tab: dt.BucketTable, ndev: int):
 def lookup_bucket_sharded(local_levels, meta, composite, q_lo, q_hi,
                           q_loc=None, axis="data", nval: int = 1):
     """Collective probe inside shard_map.  q_* are this chip's local
-    query block; returns (found, val) for that block — (found, val,
-    val2) when the table carries a second value plane (nval == 2)."""
+    query block; always returns (found, val, val2) for that block —
+    val2 is zeros when the table has no second value plane (nval < 2),
+    keeping call-site arity fixed."""
     d = jax.lax.axis_index(axis)
     B = q_lo.shape[0]
     g_lo = jax.lax.all_gather(q_lo, axis, tiled=True)
@@ -98,8 +99,9 @@ def lookup_bucket_sharded(local_levels, meta, composite, q_lo, q_hi,
         val2 = jax.lax.psum_scatter(
             val2.astype(jnp.int32), axis, scatter_dimension=0,
             tiled=True).astype(jnp.uint32)
-        return found[:B], val[:B], val2[:B]
-    return found[:B], val[:B]
+    else:
+        val2 = jnp.zeros_like(val)
+    return found[:B], val[:B], val2[:B]
 
 
 def make_sharded_prefilter(drp: da.DeviceRPGG, cfg: AlignConfig,
