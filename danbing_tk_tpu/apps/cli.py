@@ -40,6 +40,18 @@ def _cmd_align(args):
                                retry_expand=args.retry_expand)
     else:
         al = HostAligner(rpgg, cfg)
+    # bind streaming sinks for row side-outputs so .kam-scale runs are
+    # O(1) host memory (rows stream in append order; byte-identical)
+    from ..io.rowsink import RowSink
+
+    pref = args.o or args.on
+    if cfg.extract:
+        al.extract_rows = RowSink(fh=sys.stdout)
+    else:
+        if cfg.okam and not cfg.threading:
+            al.kam_rows = RowSink(pref + ".kam")
+        if cfg.aln:
+            al.aln_rows = RowSink(pref + ".aln")
     if args.native_io or args.prefilter:
         assert args.device, "--native-io/--prefilter need --device"
         al.run_file_native(args.fa or args.fq, checkpoint=args.checkpoint,
@@ -52,7 +64,6 @@ def _cmd_align(args):
     if cfg.extract:
         al.write_extract(sys.stdout)
         return
-    pref = args.o or args.on
     if args.on:
         al.write_tr_kmers(pref + ".tr.kmers")
     else:

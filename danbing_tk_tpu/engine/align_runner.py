@@ -586,7 +586,9 @@ class DeviceAlignRunner:
             self.extract_rows.append(host.extract_rows.pop())
 
     def write_extract(self, fh):
-        fh.writelines(self.extract_rows)
+        from ..io.rowsink import finalize_rows_fh
+
+        finalize_rows_fh(self.extract_rows, fh)
 
     def _post_chunk_threading(self, pairs, out):
         """Threading mode: device handles clean-walk pairs; everything
@@ -643,8 +645,9 @@ class DeviceAlignRunner:
         return write_annot(["=" if x else "." for x in tm])
 
     def write_aln(self, path):
-        with open(path, "w") as f:
-            f.writelines(self.aln_rows)
+        from ..io.rowsink import finalize_rows
+
+        finalize_rows(self.aln_rows, path)
 
     def _add_bubbles(self, dest, seq, novel_mask):
         _, edges = K.seq_to_kmers_and_edges(
@@ -714,8 +717,9 @@ class DeviceAlignRunner:
                 f.write(f"{nmap[i]}\t{kmc[i]}\n")
 
     def write_kam(self, path):
-        with open(path, "w") as f:
-            f.writelines(self.kam_rows)
+        from ..io.rowsink import finalize_rows
+
+        finalize_rows(self.kam_rows, path)
 
     def write_bubbles(self, path, threshold: int = 5):
         self.host.write_bubbles(path, threshold)

@@ -937,15 +937,19 @@ class HostAligner:
                           np.array(vs, np.uint64))
 
     def write_extract(self, fh):
-        fh.writelines(self.extract_rows)
+        from ..io.rowsink import finalize_rows_fh
+
+        finalize_rows_fh(self.extract_rows, fh)
 
     def write_aln(self, path: str):
-        with open(path, "w") as f:
-            f.writelines(self.aln_rows)
+        from ..io.rowsink import finalize_rows
+
+        finalize_rows(self.aln_rows, path)
 
     def write_kam(self, path: str):
-        with open(path, "w") as f:
-            f.writelines(self.kam_rows)
+        from ..io.rowsink import finalize_rows
+
+        finalize_rows(self.kam_rows, path)
 
     def write_tr_kmers(self, path: str):
         """-on output: writeKmersWithName in map iteration order."""
