@@ -200,6 +200,13 @@ def _cmd_call(args):
           file=sys.stderr)
 
 
+def _cmd_eqtl(args):
+    from ..analysis.eqtl_pipeline import run_eqtl
+
+    for path in run_eqtl(args):
+        print(path, file=sys.stderr)
+
+
 def _cmd_bench(args):
     import runpy
 
@@ -421,6 +428,20 @@ def main(argv=None):
 
     be = sub.add_parser("bench")
     be.set_defaults(fn=_cmd_bench)
+
+    eq = sub.add_parser(
+        "eqtl", help="single-tissue eQTL mapping (eqtl.noPerm.py "
+        "equivalent; writes {tissue}.v8.egenes.txt)")
+    for name, req in (("TRbed", True), ("geneBed", True), ("pair", True),
+                      ("expDir", True), ("resDir", False),
+                      ("genDir", True), ("covDir", True), ("outDir", True),
+                      ("phenotype", True), ("genomes", True),
+                      ("tissues", True), ("genMat", False),
+                      ("SNPPC", False), ("ctrlbed", False)):
+        eq.add_argument(f"--{name}", required=req)
+    eq.add_argument("--NL1", required=True, type=int)
+    eq.add_argument("--NL2", required=True, type=int)
+    eq.set_defaults(fn=_cmd_eqtl)
 
     ca = sub.add_parser("call", help="rare-variant (novel bubble) calling")
     ca.add_argument("pref", help="RPGG prefix (needs .bi_tr/.bi_fl.kdb)")

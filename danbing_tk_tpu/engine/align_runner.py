@@ -101,10 +101,28 @@ class DeviceAlignRunner:
         With ``prefilter`` a cheap sampled-kmer device pass drops
         non-matching pairs first (the reference subfilter; genome-wide
         ~99% of pairs die there) and only densely re-packed survivors run
-        the full pipeline."""
+        the full pipeline.
+
+        ``-bu`` bubbles run on this path too (the reference emits them in
+        its one monolithic pass, aQueryFasta_thread.cpp:2161-2166): the
+        device counts novel (k+1)-mer edges per read and ships them as a
+        bit-packed plane with the referee mask; the host resolves edge
+        values for flagged reads only (rare) and merges batch-local maps
+        at the reference's reads_per_batch flush cadence, so the .bub
+        output is byte-identical to the slow path / reference."""
         cfg = self.cfg
-        assert not cfg.okam and not cfg.output_bubbles and \
-            not cfg.simmode, "native path covers counting mode"
+        assert not cfg.okam and not cfg.simmode, \
+            "native path covers counting (+ -bu bubble) modes"
+        bub = cfg.output_bubbles
+        if bub:
+            # byte-exact .bub needs every pair handled in file order at
+            # the reference's batch cadence; the retry path defers
+            # overflow pairs out of order, and checkpoint state does not
+            # yet carry the bubble maps
+            assert not self.retry_E, \
+                "-bu on the native path requires retry_expand=0"
+            assert checkpoint is None, \
+                "checkpointing covers counting mode only"
         from ..io.native_reader import NativeBatchReader
 
         wq = self.with_qual
@@ -139,7 +157,7 @@ class DeviceAlignRunner:
             buf_rlen = np.zeros(2 * self.P, dtype=np.int32)
             buf_quals = np.zeros((2 * self.P, self.L), dtype=np.uint8) \
                 if wq else None
-            nbuf = 0
+        nbuf = 0
 
         done, pre_state = (self._load_checkpoint(checkpoint)
                            if checkpoint else (0, None))
@@ -231,9 +249,9 @@ class DeviceAlignRunner:
         fs_pending: deque = deque()
         fs_window = 3
 
-        def run_step(step_fn, codes, rlen, n, quals, allow_retry):
+        def run_step(step_fn, codes, rlen, hi, quals, allow_retry, lo=0):
             live = np.zeros(self.P, dtype=bool)
-            live[:n] = True
+            live[lo:hi] = True
             if wq:
                 qm = da.qmask_batch(quals, rlen, cfg.qth, cfg.ksize)
                 self.state, out = step_fn(
@@ -241,15 +259,19 @@ class DeviceAlignRunner:
             else:
                 self.state, out = step_fn(self.state, codes, rlen, live)
             pack = out["referee_pack"]
-            try:
-                pack.copy_to_host_async()
-            except AttributeError:
-                pass
-            fs_pending.append((pack, codes, rlen, n, quals, allow_retry))
+            extras = (out["novel_pack"], out["dest"]) if bub else ()
+            for a in (pack,) + extras:
+                try:
+                    a.copy_to_host_async()
+                except AttributeError:
+                    pass
+            fs_pending.append((pack, extras, codes, rlen, hi, quals,
+                               allow_retry))
 
         def process_step():
             nonlocal nret
-            pack, codes, rlen, n, quals, allow_retry = fs_pending.popleft()
+            (pack, extras, codes, rlen, n, quals,
+             allow_retry) = fs_pending.popleft()
             pk = np.asarray(pack)[:n]
             referee = (pk & 1) != 0
             for bit, key in ((2, "tie"), (4, "ovf"), (8, "t2")):
@@ -258,20 +280,40 @@ class DeviceAlignRunner:
                 ovf = ((pk & 4) != 0) & referee
             else:
                 ovf = np.zeros(n, dtype=bool)
-            for i in np.nonzero(referee & ~ovf)[0]:
-                host_pair(codes, rlen, quals, i)
-            for i in np.nonzero(ovf)[0]:
-                self.n_retried += 1
-                ret_codes[2 * nret] = codes[2 * i]
-                ret_codes[2 * nret + 1] = codes[2 * i + 1]
-                ret_rlen[2 * nret] = rlen[2 * i]
-                ret_rlen[2 * nret + 1] = rlen[2 * i + 1]
-                if wq:
-                    ret_quals[2 * nret] = quals[2 * i]
-                    ret_quals[2 * nret + 1] = quals[2 * i + 1]
-                nret += 1
-                if nret == self.P:
-                    flush_retry()
+            if bub:
+                novp = np.asarray(extras[0])[: 2 * n]
+                has = novp.any(axis=1)
+                pair_bub = (has[0::2] | has[1::2]) & ~referee
+                dest_arr = np.asarray(extras[1])[:n]
+            else:
+                pair_bub = np.zeros(n, dtype=bool)
+            # file order interleaves referee side effects (their bubbles
+            # accumulate inside host.process_pair) with device-pair
+            # bubble inserts — np.nonzero is ascending, so this matches
+            # the slow path's per-pair loop exactly
+            for i in np.nonzero(referee | pair_bub)[0]:
+                if pair_bub[i]:
+                    d = int(dest_arr[i])
+                    for m in (0, 1):
+                        ridx = 2 * i + m
+                        if has[ridx]:
+                            self._add_bubbles_codes(
+                                d, codes[ridx], int(rlen[ridx]),
+                                np.unpackbits(novp[ridx]))
+                elif not ovf[i]:
+                    host_pair(codes, rlen, quals, i)
+                else:
+                    self.n_retried += 1
+                    ret_codes[2 * nret] = codes[2 * i]
+                    ret_codes[2 * nret + 1] = codes[2 * i + 1]
+                    ret_rlen[2 * nret] = rlen[2 * i]
+                    ret_rlen[2 * nret + 1] = rlen[2 * i + 1]
+                    if wq:
+                        ret_quals[2 * nret] = quals[2 * i]
+                        ret_quals[2 * nret + 1] = quals[2 * i + 1]
+                    nret += 1
+                    if nret == self.P:
+                        flush_retry()
 
         def drain_steps(to: int = 0):
             while len(fs_pending) > to:
@@ -294,9 +336,55 @@ class DeviceAlignRunner:
                 ret_quals = np.zeros((2 * self.P, self.L), dtype=np.uint8)
             run_step(self.retry_step, rc, rr, nr_, rq, allow_retry=False)
 
-        def full_step(codes, rlen, n, quals=None):
-            run_step(self.step, codes, rlen, n, quals, allow_retry=True)
+        def full_step(codes, rlen, n, quals=None, lo=0):
+            run_step(self.step, codes, rlen, n, quals, allow_retry=True,
+                     lo=lo)
             drain_steps(fs_window)
+
+        # -bu flush cadence: the reference merges batch-local bubble maps
+        # into the global DB every reads_per_batch reads (accumBubbles
+        # under semwriter); the .bub byte layout depends on that merge
+        # order, so the native path barriers at the same pair boundaries
+        Bflush = max(cfg.reads_per_batch // 2, 1)
+        next_flush = Bflush
+
+        def step_buf():
+            nonlocal nbuf, buf_codes, buf_rlen, buf_quals
+            if not nbuf:
+                return
+            full_step(buf_codes, buf_rlen, nbuf, buf_quals)
+            buf_codes = np.full((2 * self.P, self.L), 255, dtype=np.uint8)
+            buf_rlen = np.zeros(2 * self.P, dtype=np.int32)
+            if wq:
+                buf_quals = np.zeros((2 * self.P, self.L), dtype=np.uint8)
+            nbuf = 0
+
+        def copy_survivors(sel, codes, rlen, quals):
+            # block-copy survivors into the repack buffer (chunked at
+            # full-step boundaries); row indices interleave the two mates
+            nonlocal nbuf
+            taken = 0
+            while taken < len(sel):
+                chunk = sel[taken: taken + (self.P - nbuf)]
+                taken += len(chunk)
+                src = np.stack([2 * chunk, 2 * chunk + 1], axis=1).ravel()
+                dst = slice(2 * nbuf, 2 * (nbuf + len(chunk)))
+                buf_codes[dst] = codes[src]
+                buf_rlen[dst] = rlen[src]
+                if wq:
+                    buf_quals[dst] = quals[src]
+                nbuf += len(chunk)
+                if nbuf == self.P:
+                    step_buf()
+
+        def batch_flush_barrier():
+            # everything dispatched so far must land (referee + bubble
+            # side effects) before the batch-local maps merge
+            nonlocal next_flush
+            step_buf()
+            drain_steps()
+            self.host.flush_batch()
+            next_flush += Bflush
 
         def save_ckpt():
             # referee/retry side effects must be complete up to the saved
@@ -323,33 +411,26 @@ class DeviceAlignRunner:
         pre_window = int(os.environ.get("DTK_PREFILTER_WINDOW", "8"))
 
         def drain_one():
-            nonlocal cursor, since, nbuf, buf_codes, buf_rlen, buf_quals
+            nonlocal cursor, since
             codes, rlen, quals, n, fut = pending.popleft()
             surv = np.asarray(fut)[:n]
             idx = np.nonzero(surv)[0]
             self.n_prefiltered += int(n - len(idx))
-            # block-copy survivors into the repack buffer (chunked at
-            # full-step boundaries); row indices interleave the two mates
-            taken = 0
-            while taken < len(idx):
-                chunk = idx[taken: taken + (self.P - nbuf)]
-                taken += len(chunk)
-                src = np.stack([2 * chunk, 2 * chunk + 1], axis=1).ravel()
-                dst = slice(2 * nbuf, 2 * (nbuf + len(chunk)))
-                buf_codes[dst] = codes[src]
-                buf_rlen[dst] = rlen[src]
-                if wq:
-                    buf_quals[dst] = quals[src]
-                nbuf += len(chunk)
-                if nbuf == self.P:
-                    full_step(buf_codes, buf_rlen, nbuf, buf_quals)
-                    buf_codes = np.full((2 * self.P, self.L), 255,
-                                        dtype=np.uint8)
-                    buf_rlen = np.zeros(2 * self.P, dtype=np.int32)
-                    if wq:
-                        buf_quals = np.zeros((2 * self.P, self.L),
-                                             dtype=np.uint8)
-                    nbuf = 0
+            if not bub:
+                copy_survivors(idx, codes, rlen, quals)
+            else:
+                # survivors strictly segment-by-segment: all pairs before
+                # a flush boundary must be processed + merged before any
+                # pair after it enters the repack buffer
+                p = 0
+                while True:
+                    rel = next_flush - cursor
+                    q = int(np.searchsorted(idx[p:], rel)) + p
+                    copy_survivors(idx[p:q], codes, rlen, quals)
+                    p = q
+                    if rel > n:
+                        break
+                    batch_flush_barrier()
             cursor += n
             since += n
             if checkpoint and since >= checkpoint_every:
@@ -390,7 +471,20 @@ class DeviceAlignRunner:
                     if len(pending) >= pre_window:
                         drain_one()
                 else:
-                    full_step(codes, rlen, n, quals)
+                    if not bub:
+                        full_step(codes, rlen, n, quals)
+                    else:
+                        # split the dispatch at flush boundaries (live
+                        # range [lo, hi)); merge between the halves
+                        lo = 0
+                        while next_flush - cursor <= n:
+                            rel = next_flush - cursor
+                            if rel > lo:
+                                full_step(codes, rlen, rel, quals, lo=lo)
+                                lo = rel
+                            batch_flush_barrier()
+                        if n > lo:
+                            full_step(codes, rlen, n, quals, lo=lo)
                     cursor += n
                     since += n
                     if checkpoint and since >= checkpoint_every:
@@ -402,9 +496,7 @@ class DeviceAlignRunner:
             reader.close()
         while pending:
             drain_one()
-        if prefilter and nbuf:
-            full_step(buf_codes, buf_rlen, nbuf, buf_quals)
-            nbuf = 0
+        step_buf()
         drain_steps()
         if self.retry_E:
             flush_retry()
@@ -648,6 +740,21 @@ class DeviceAlignRunner:
         from ..io.rowsink import finalize_rows
 
         finalize_rows(self.aln_rows, path)
+
+    def _add_bubbles_codes(self, dest, codes_row, rl, novel_bits):
+        """Native-path twin of _add_bubbles: reads arrive as 2-bit codes,
+        so edge values come straight from the packed row (no string
+        decode)."""
+        _, edges = K.seq_to_kmers_and_edges(codes_row[:rl], self.cfg.ksize)
+        ent = self.host._bub_batch.get(dest)
+        if ent is None:
+            ent = (StdUmapOrder(), {})
+            self.host._bub_batch[dest] = ent
+        order, counts = ent
+        for pos in np.nonzero(novel_bits[: len(edges)])[0]:
+            e = int(edges[pos])
+            order.insert(e)
+            counts[e] = counts.get(e, 0) + 1
 
     def _add_bubbles(self, dest, seq, novel_mask):
         _, edges = K.seq_to_kmers_and_edges(

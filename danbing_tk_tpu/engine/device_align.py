@@ -1068,6 +1068,10 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
             novel = (~efound) & ex["evalid"] & in_seg & (rm == 0)[:, None]
             novel = novel & counted.repeat(2)[:, None]
             out["novel_edge"] = novel
+            # bit-packed copy for the native runner: one small async
+            # fetch per step ((2P, ceil(NE/8)) u8) instead of pulling
+            # the whole bool plane through the blocking result path
+            out["novel_pack"] = jnp.packbits(novel, axis=-1)
         return new_state, out
 
     if not jit:
