@@ -62,12 +62,10 @@ class DeviceAlignRunner:
         # computed host-side (vectorized) and fed to the device step
         self.with_qual = bool(cfg.is_fastq and cfg.bait
                               and self.drp.bait_tab is not None)
-        self.step = da.make_step(
-            self.drp, cfg, self.P, self.L, expand_cap=expand_cap,
-            with_annot=cfg.okam or cfg.threading,
-            with_bubbles=cfg.output_bubbles, threading=cfg.threading,
+        self.step = self._build_step(
+            expand_cap, with_annot=cfg.okam or cfg.threading,
             with_qual=self.with_qual)
-        self.state = da.init_state(self.drp)
+        self.state = self._init_state()
         # host oracle handles referee'd pairs (counts go into rpgg dicts);
         # the C++ engine (native/dtk_align.cpp) runs supported configs
         # ~10x faster with identical state updates
@@ -88,6 +86,40 @@ class DeviceAlignRunner:
         self.retry_E = retry_expand
         self.retry_step = None      # built on first overflow
         self.n_retried = 0
+
+    # -- step construction hooks (overridden by the sharded runner) --
+
+    def _build_step(self, expand_cap, with_annot, with_qual):
+        return da.make_step(
+            self.drp, self.cfg, self.P, self.L, expand_cap=expand_cap,
+            with_annot=with_annot, with_bubbles=self.cfg.output_bubbles,
+            threading=self.cfg.threading, with_qual=with_qual)
+
+    def _init_state(self):
+        return da.init_state(self.drp)
+
+    def _build_prefilter(self, Pp: int):
+        """Returns step(codes, rlen, live) -> survive mask (Pp,)."""
+        cfg = self.cfg
+        if os.environ.get("DTK_PREFILTER_HOSTQ", "1") != "0":
+            # host-sampled queries: upload ~32 B/read instead of the
+            # L-byte code rows (transfer is the wall on ingest-bound
+            # runs); decision-identical
+            qstep = da.make_prefilter_step_q(self.drp, cfg, Pp)
+            k, nf = cfg.ksize, cfg.n_filter
+            from ..io.native_reader import sample_queries
+
+            def _pre(codes, rlen, live, _q=qstep, _k=k, _nf=nf,
+                     _s=sample_queries):
+                qlo, qhi, valid, nonshort = _s(codes, rlen, _k, _nf)
+                return _q(qlo, qhi, valid, nonshort, live)
+
+            return _pre
+        return da.make_prefilter_step(self.drp, cfg, Pp, self.L)
+
+    def _dev_state(self, key: str) -> np.ndarray:
+        """Device accumulator as a host array (merged over shards)."""
+        return np.asarray(self.state[key])
 
     # -- batching --
 
@@ -134,23 +166,7 @@ class DeviceAlignRunner:
                        if prefilter else 1)
         if prefilter:
             if getattr(self, "prefilter_P", None) != Pp:
-                if os.environ.get("DTK_PREFILTER_HOSTQ", "1") != "0":
-                    # host-sampled queries: upload ~32 B/read instead of
-                    # the L-byte code rows (transfer is the wall on
-                    # ingest-bound runs); decision-identical
-                    qstep = da.make_prefilter_step_q(self.drp, cfg, Pp)
-                    k, nf = cfg.ksize, cfg.n_filter
-                    from ..io.native_reader import sample_queries
-
-                    def _pre(codes, rlen, live, _q=qstep, _k=k, _nf=nf,
-                             _s=sample_queries):
-                        qlo, qhi, valid, nonshort = _s(codes, rlen, _k, _nf)
-                        return _q(qlo, qhi, valid, nonshort, live)
-
-                    self.prefilter_step = _pre
-                else:
-                    self.prefilter_step = da.make_prefilter_step(
-                        self.drp, cfg, Pp, self.L)
+                self.prefilter_step = self._build_prefilter(Pp)
                 self.prefilter_P = Pp
             self.n_prefiltered = 0
             buf_codes = np.full((2 * self.P, self.L), 255, dtype=np.uint8)
@@ -324,10 +340,8 @@ class DeviceAlignRunner:
             if not nret:
                 return
             if self.retry_step is None:
-                self.retry_step = da.make_step(
-                    self.drp, cfg, self.P, self.L,
-                    expand_cap=self.retry_E, with_annot=False,
-                    with_qual=wq)
+                self.retry_step = self._build_step(
+                    self.retry_E, with_annot=False, with_qual=wq)
             nr_, nret = nret, 0
             rc, rr, rq = ret_codes, ret_rlen, ret_quals
             ret_codes = np.full((2 * self.P, self.L), 255, dtype=np.uint8)
@@ -799,7 +813,7 @@ class DeviceAlignRunner:
     # -- outputs --
 
     def flat_counts(self) -> np.ndarray:
-        dev = np.asarray(self.state["counts"])[:-1].astype(np.uint64)
+        dev = self._dev_state("counts")[:-1].astype(np.uint64)
         return dev + self.host.flat_counts()
 
     def write_trkmc_ar(self, path):
@@ -816,8 +830,8 @@ class DeviceAlignRunner:
                     f.write(f"{km}\t{c}\n")
 
     def write_summary(self, path):
-        nmap = np.asarray(self.state["nmapread"])[:-1] + self.host.nmapread
-        kmc = np.asarray(self.state["kmc"])[:-1].astype(np.uint64) + \
+        nmap = self._dev_state("nmapread")[:-1] + self.host.nmapread
+        kmc = self._dev_state("kmc")[:-1].astype(np.uint64) + \
             self.host.kmc
         with open(path, "w") as f:
             for i in range(self.rpgg.nloci):

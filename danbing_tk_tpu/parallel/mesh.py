@@ -40,7 +40,7 @@ def make_mesh(devices=None) -> Mesh:
 def make_sharded_step(drp: da.DeviceRPGG, cfg: AlignConfig, mesh: Mesh,
                       P_global: int, L: int, expand_cap: int = 512,
                       with_annot: bool = True, with_bubbles: bool = False,
-                      shard_index: bool = False):
+                      shard_index: bool = False, with_qual: bool = False):
     """Data-parallel batch step over the mesh.
 
     state arrays carry a leading device axis sharded over "data"; inputs
@@ -106,30 +106,40 @@ def make_sharded_step(drp: da.DeviceRPGG, cfg: AlignConfig, mesh: Mesh,
     local_step = da.make_step(drp, cfg, P_local, L, expand_cap=expand_cap,
                               with_annot=with_annot,
                               with_bubbles=with_bubbles, jit=False,
-                              probe_fns=probe_fns)
+                              probe_fns=probe_fns, with_qual=with_qual)
 
     @jax.jit
-    def sharded_step(state, codes, rlen, live):
-        def per_device(state_l, codes_l, rlen_l, live_l, *tabs_l):
+    def sharded_step(state, codes, rlen, live, qmask=None):
+        def per_device(state_l, codes_l, rlen_l, live_l, *rest):
+            if with_qual:
+                qmask_l, tabs_l = rest[0], rest[1:]
+            else:
+                qmask_l, tabs_l = None, rest
             if shard_index:
                 it = iter(tabs_l)
                 for name in ("dbi", "trfl"):
                     ctx[name] = [next(it)[0] for _ in range(nlv[name])]
             state_l = jax.tree.map(lambda x: x[0], state_l)
-            new_state, out = local_step(state_l, codes_l, rlen_l, live_l)
+            new_state, out = local_step(state_l, codes_l, rlen_l, live_l,
+                                        qmask=qmask_l)
             new_state = jax.tree.map(lambda x: x[None], new_state)
             return new_state, out
 
+        extra = (qmask,) if with_qual else ()
         return jax.shard_map(
             per_device,
             mesh=mesh,
             in_specs=(P("data"), P("data"), P("data"), P("data"))
+            + tuple(P("data") for _ in extra)
             + tuple(P("data") for _ in tab_args),
             out_specs=(P("data"), P("data")),
             check_vma=False,
-        )(state, codes, rlen, live, *tab_args)
+        )(state, codes, rlen, live, *extra, *tab_args)
 
-    return sharded_step, P_local
+    if with_qual:
+        return sharded_step, P_local
+    return (lambda state, codes, rlen, live:
+            sharded_step(state, codes, rlen, live)), P_local
 
 
 def init_sharded_state(drp: da.DeviceRPGG, mesh: Mesh):

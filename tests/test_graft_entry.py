@@ -27,4 +27,5 @@ def test_entry_and_dryrun():
         capture_output=True, text=True, timeout=500)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "entry-ok" in r.stdout
-    assert "dryrun_multichip(8): ok" in r.stdout
+    assert "dryrun_multichip(8): step ok" in r.stdout
+    assert "funnel ok=True" in r.stdout

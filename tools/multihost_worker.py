@@ -87,9 +87,24 @@ def main():
             al._save_checkpoint = save_and_die
         al.run_file(shard, checkpoint=ckpt.replace("%d", str(pid)),
                     checkpoint_every=fault_after or 10 ** 9)
-    else:
+    elif os.environ.get("DTK_WORKER_HOST"):
         al = HostAligner(RPGG(pan), cfg)
         al.run_file(shard)
+    else:
+        # production topology: each controller drives the FULL native
+        # funnel (prefilter -> repack -> finalize) under shard_map over
+        # its local devices; cross-process merge below is the single
+        # global reduction
+        from danbing_tk_tpu.parallel import mesh as pm
+        from danbing_tk_tpu.parallel.runner import ShardedAlignRunner
+
+        local = jax.local_devices()
+        al = ShardedAlignRunner(RPGG(pan), cfg, mesh=pm.make_mesh(local),
+                                batch_pairs=64 * len(local),
+                                max_read_len=192)
+        al.run_file_native(shard, prefilter=True)
+        print(f"[worker {pid}] funnel: prefiltered={al.n_prefiltered} "
+              f"referee={al.n_referee}", file=sys.stderr, flush=True)
     merged = global_merge(al.flat_counts())
     np.save(os.path.join(outdir, f"merged.{pid}.npy"), merged)
     print(f"[worker {pid}] devices={jax.device_count()} "
