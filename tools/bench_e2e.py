@@ -21,11 +21,14 @@ import numpy as np
 
 
 def synth_reads(path, npairs, frac, seqs, L=150, err=0.0,
-                chunk=1_000_000, seed=3, flen=500):
+                chunk=1_000_000, seed=3, flen=500, bg_pool=None):
     """WGS-shaped PE fasta, vectorized (a 5e7-pair/30GB file is feasible):
-    frac of pairs drawn from the haplotype pool, the rest uniform random;
-    err = per-base substitution rate on the TR-derived reads (background
-    reads are already random), the bench panel's error profile."""
+    frac of pairs drawn from the haplotype pool, the rest background —
+    uniform random (bg_pool=None, the round-2 panel, flatters the
+    prefilter) or proper PE fragments of REAL sequence (bg_pool=[byte
+    arrays], e.g. the bundled hg38 chr12 slice).  err = per-base
+    substitution rate; with a real background the profile applies to
+    every read (real reads carry errors everywhere)."""
     rng = np.random.default_rng(seed)
     pool = [np.frombuffer(s.encode(), dtype=np.uint8)
             for s in seqs if len(s) >= flen]
@@ -37,12 +40,33 @@ def synth_reads(path, npairs, frac, seqs, L=150, err=0.0,
     for i_, a in enumerate(b"ACGT"):
         b2i[a] = i_
     nl = np.uint8(ord("\n"))
+    bg = None
+    if bg_pool is not None:
+        bg = np.concatenate(bg_pool)
     with open(path, "wb") as f:
         done = 0
         while done < npairs:
             n = min(chunk, npairs - done)
-            r1 = bases[rng.integers(0, 4, (n, L))]
-            r2 = bases[rng.integers(0, 4, (n, L))]
+            if bg is None:
+                r1 = bases[rng.integers(0, 4, (n, L))]
+                r2 = bases[rng.integers(0, 4, (n, L))]
+            else:
+                # proper PE fragments from the real background; RC the
+                # whole fragment half the time (strand randomness)
+                starts = rng.integers(0, len(bg) - flen, n)
+                w = np.arange(L)
+                r1 = bg[starts[:, None] + w]
+                r2 = comp[bg[(starts + flen - L)[:, None] + w]][:, ::-1]
+                flip = rng.random(n) < 0.5
+                r1f = comp[r2[flip, ::-1]][:, ::-1]      # RC of mate2
+                r2f = comp[r1[flip, ::-1]][:, ::-1]
+                r1[flip], r2[flip] = r1f, r2f
+                if err:
+                    for r in (r1, r2):
+                        m = rng.random((n, L)) < err
+                        cur = b2i[r[m]]
+                        r[m] = bases[(cur + rng.integers(
+                            1, 4, int(m.sum()))) % 4]
             for i in np.flatnonzero(rng.random(n) < frac):
                 s = pool[int(rng.integers(len(pool)))]
                 b = int(rng.integers(0, len(s) - flen + 1))
@@ -82,17 +106,34 @@ def main():
     nloci = int(os.environ.get("DTK_BENCH_NLOCI", 512))
     L = 150
 
-    pan = build(os.path.join(
-        root, "build", f"bench_rpgg{'' if nloci == 512 else nloci}"),
-        nloci)
+    # panel provenance (VERDICT r3 item 3):
+    #   synthetic — RNG motifs, uniform-random background (round-2 panel;
+    #               flatters the prefilter)
+    #   real      — real-motif TR arrays + human-composition flanks
+    #               (tools/make_real_panel.py), background reads = proper
+    #               PE fragments of the bundled hg38 chr12 slice
+    panel = os.environ.get("DTK_E2E_PANEL", "synthetic")
     err = float(os.environ.get("DTK_E2E_ERR", 0.0))
+    if panel == "real":
+        from tools.make_real_panel import build as build_real
+        from tools.make_real_panel import background_pool
+
+        pan = build_real(os.path.join(root, "build",
+                                      f"real_panel{nloci}"), nloci)
+        bg_pool = background_pool()
+    else:
+        pan = build(os.path.join(
+            root, "build", f"bench_rpgg{'' if nloci == 512 else nloci}"),
+            nloci)
+        bg_pool = None
     reads = os.path.join(os.path.dirname(pan),
                          f"e2e_{npairs}_{frac}_{err}.fa")
     if not os.path.exists(reads):
         print("synthesizing reads...", file=sys.stderr)
         seqs = read_fasta_seqs(os.path.join(os.path.dirname(pan),
                                             "hap0.fa"))
-        synth_reads(reads, npairs, frac, seqs, L=L, err=err)
+        synth_reads(reads, npairs, frac, seqs, L=L, err=err,
+                    bg_pool=bg_pool)
 
     rpgg = RPGG(pan)
     cfg = AlignConfig(ksize=21, cth=20, n_filter=4, nm_filter=1,
@@ -121,8 +162,12 @@ def main():
     t0 = time.time()
     al2.run_file_native(reads, prefilter=True)
     wall2 = time.time() - t0
+    surv = npairs - al2.n_prefiltered
     print(f"# steady wall={wall2:.1f}s -> {nreads / wall2:.0f} reads/s "
-          f"end-to-end (ingest+prefilter+full+referee)", file=sys.stderr)
+          f"end-to-end (ingest+prefilter+full+referee) panel={panel} "
+          f"nloci={nloci} survivors={surv}/{npairs} "
+          f"({100 * surv / npairs:.2f}%) referee={al2.n_referee} "
+          f"{al2.referee_reasons}", file=sys.stderr)
     al2.write_trkmc_ar("/tmp/e2e.trkmc.ar")
     print(f"e2e_reads_per_sec={nreads / wall2:.0f}")
 
