@@ -299,7 +299,9 @@ def main(argv=None):
                         "PATH after a crash")
     a.add_argument("--expand-cap", type=int, default=512,
                    help="per-pair kmer->locus expansion slots on device")
-    a.add_argument("--retry-expand", type=int, default=0,
+    a.add_argument("--retry-expand",
+                   type=lambda v: [int(x) for x in v.split(",")],
+                   default=0,
                    help="two-phase expansion: re-run overflowing pairs "
                         "through a second device step with this many "
                         "slots before the host referee (native path)")

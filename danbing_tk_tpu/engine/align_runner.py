@@ -39,17 +39,19 @@ def _decode_qual(quals: np.ndarray, rlen: int) -> str:
 class DeviceAlignRunner:
     def __init__(self, rpgg: RPGG, cfg: AlignConfig, batch_pairs: int = 4096,
                  max_read_len: int = 256, expand_cap: int = 512,
-                 retry_expand: int = 0):
+                 retry_expand: int | list = 0):
         # expand_cap bounds the per-pair (kmer -> loci) expansion; pairs
         # exceeding it fall to the host referee (exact).  Smaller caps cut
         # device time ~35% but blow up the referee rate on RPGGs with
         # heavily shared motifs -- tune per index.
-        # retry_expand > 0 enables the two-phase scheme on the native
-        # counting path: the primary step runs at the (small) expand_cap
-        # and overflowing pairs are re-batched through a second jitted
-        # step at retry_expand before any host fallback -- the common
-        # case gets the small-E step time without inflating the host
-        # referee rate.
+        # retry_expand enables the tiered scheme on the native counting
+        # path: overflow pairs re-batch through progressively larger-E
+        # jitted steps (an int = one tier; a list = a ladder, e.g.
+        # [4096, 16384]) before any host fallback -- the common case gets
+        # the small-E step time while real-motif panels (where a TR
+        # read's k-mers legitimately map to many loci) stay on device.
+        # Tier batch sizes shrink as E grows so the (P, E) working set
+        # stays bounded.
         self.rpgg = rpgg
         self.cfg = cfg
         self.P = batch_pairs
@@ -83,16 +85,32 @@ class DeviceAlignRunner:
         self.referee_reasons = {"tie": 0, "ovf": 0, "t2": 0}
         self.n_host_thread = 0
         self.expand_cap = expand_cap
-        self.retry_E = retry_expand
-        self.retry_step = None      # built on first overflow
+        if not retry_expand:
+            ladder = []
+        elif isinstance(retry_expand, int):
+            ladder = [retry_expand]
+        else:
+            ladder = list(retry_expand)
+        assert all(b > a for a, b in zip([expand_cap] + ladder, ladder)), \
+            ("retry ladder must strictly grow", expand_cap, ladder)
+        self.retry_E = ladder                     # truthy iff tiers exist
+        self.retry_P = [self._tier_P(E) for E in ladder]
+        self.retry_steps: list = [None] * len(ladder)   # built lazily
         self.n_retried = 0
+
+    def _tier_P(self, E: int) -> int:
+        """Batch size for a retry tier: keep P*E (the vote working set)
+        within ~4x the primary step's."""
+        scale = max(1, E // (4 * self.expand_cap))
+        return max(128, self.P // scale)
 
     # -- step construction hooks (overridden by the sharded runner) --
 
-    def _build_step(self, expand_cap, with_annot, with_qual):
+    def _build_step(self, expand_cap, with_annot, with_qual, P=None):
         return da.make_step(
-            self.drp, self.cfg, self.P, self.L, expand_cap=expand_cap,
-            with_annot=with_annot, with_bubbles=self.cfg.output_bubbles,
+            self.drp, self.cfg, P or self.P, self.L,
+            expand_cap=expand_cap, with_annot=with_annot,
+            with_bubbles=self.cfg.output_bubbles,
             threading=self.cfg.threading, with_qual=with_qual)
 
     def _init_state(self):
@@ -190,7 +208,7 @@ class DeviceAlignRunner:
                         f"now {int(cur)}")
 
             _require("cfg_P", self.P, "batch_pairs")
-            _require("cfg_retry_E", self.retry_E or 0, "retry_expand")
+            _require("cfg_retry_E", sum(self.retry_E), "retry_expand")
             _require("cfg_prefilter", int(bool(prefilter)), "prefilter")
             if prefilter:
                 _require("pre_P", Pp,
@@ -227,24 +245,32 @@ class DeviceAlignRunner:
 
             reader = PrefetchIterator(reader, depth)
 
-        # two-phase expansion: overflow pairs from the small-E primary
-        # step are re-batched through a big-E device step before any
-        # host fallback (referee_reasons then count such pairs twice --
-        # once as primary ovf, once with their retry-step reason)
-        if self.retry_E and pre_state is not None \
-                and "ret_codes" in pre_state:
-            ret_codes = pre_state["ret_codes"]
-            ret_rlen = pre_state["ret_rlen"]
-            ret_quals = pre_state.get("ret_quals")
-            nret = int(pre_state["nret"])
+        # tiered expansion: overflow pairs from the small-E primary step
+        # re-batch through progressively larger-E device steps before any
+        # host fallback (referee_reasons then count such pairs once per
+        # step that flagged them)
+        ntier = len(self.retry_E)
+        ret_codes, ret_rlen, ret_quals, nret = [], [], [], []
+        for t in range(ntier):
+            # tier-0 keys keep the round-2 single-tier names so old
+            # checkpoints resume
+            pre = "ret" if t == 0 else f"ret{t}"
+            nkey = "nret" if t == 0 else f"nret{t}"
+            if pre_state is not None and f"{pre}_codes" in pre_state:
+                ret_codes.append(pre_state[f"{pre}_codes"])
+                ret_rlen.append(pre_state[f"{pre}_rlen"])
+                ret_quals.append(pre_state.get(f"{pre}_quals"))
+                nret.append(int(pre_state[nkey]))
+            else:
+                Pt = self.retry_P[t]
+                ret_codes.append(np.full((2 * Pt, self.L), 255,
+                                         dtype=np.uint8))
+                ret_rlen.append(np.zeros(2 * Pt, dtype=np.int32))
+                ret_quals.append(np.zeros((2 * Pt, self.L), dtype=np.uint8)
+                                 if wq else None)
+                nret.append(0)
+        if ntier and pre_state is not None and "n_retried" in pre_state:
             self.n_retried = int(pre_state["n_retried"])
-        else:
-            ret_codes = np.full((2 * self.P, self.L), 255,
-                                dtype=np.uint8) if self.retry_E else None
-            ret_rlen = np.zeros(2 * self.P, dtype=np.int32)
-            ret_quals = (np.zeros((2 * self.P, self.L), dtype=np.uint8)
-                         if (self.retry_E and wq) else None)
-            nret = 0
 
         def host_pair(codes, rlen, quals, i):
             self.n_referee += 1
@@ -265,8 +291,9 @@ class DeviceAlignRunner:
         fs_pending: deque = deque()
         fs_window = 3
 
-        def run_step(step_fn, codes, rlen, hi, quals, allow_retry, lo=0):
-            live = np.zeros(self.P, dtype=bool)
+        def run_step(step_fn, liveP, codes, rlen, hi, quals, next_tier,
+                     lo=0):
+            live = np.zeros(liveP, dtype=bool)
             live[lo:hi] = True
             if wq:
                 qm = da.qmask_batch(quals, rlen, cfg.qth, cfg.ksize)
@@ -282,17 +309,16 @@ class DeviceAlignRunner:
                 except AttributeError:
                     pass
             fs_pending.append((pack, extras, codes, rlen, hi, quals,
-                               allow_retry))
+                               next_tier))
 
         def process_step():
-            nonlocal nret
             (pack, extras, codes, rlen, n, quals,
-             allow_retry) = fs_pending.popleft()
+             next_tier) = fs_pending.popleft()
             pk = np.asarray(pack)[:n]
             referee = (pk & 1) != 0
             for bit, key in ((2, "tie"), (4, "ovf"), (8, "t2")):
                 self.referee_reasons[key] += int(((pk & bit) != 0).sum())
-            if allow_retry and self.retry_E:
+            if next_tier is not None:
                 ovf = ((pk & 4) != 0) & referee
             else:
                 ovf = np.zeros(n, dtype=bool)
@@ -319,40 +345,44 @@ class DeviceAlignRunner:
                 elif not ovf[i]:
                     host_pair(codes, rlen, quals, i)
                 else:
+                    t = next_tier
                     self.n_retried += 1
-                    ret_codes[2 * nret] = codes[2 * i]
-                    ret_codes[2 * nret + 1] = codes[2 * i + 1]
-                    ret_rlen[2 * nret] = rlen[2 * i]
-                    ret_rlen[2 * nret + 1] = rlen[2 * i + 1]
+                    j = nret[t]
+                    ret_codes[t][2 * j] = codes[2 * i]
+                    ret_codes[t][2 * j + 1] = codes[2 * i + 1]
+                    ret_rlen[t][2 * j] = rlen[2 * i]
+                    ret_rlen[t][2 * j + 1] = rlen[2 * i + 1]
                     if wq:
-                        ret_quals[2 * nret] = quals[2 * i]
-                        ret_quals[2 * nret + 1] = quals[2 * i + 1]
-                    nret += 1
-                    if nret == self.P:
-                        flush_retry()
+                        ret_quals[t][2 * j] = quals[2 * i]
+                        ret_quals[t][2 * j + 1] = quals[2 * i + 1]
+                    nret[t] += 1
+                    if nret[t] == self.retry_P[t]:
+                        flush_retry(t)
 
         def drain_steps(to: int = 0):
             while len(fs_pending) > to:
                 process_step()
 
-        def flush_retry():
-            nonlocal nret, ret_codes, ret_rlen, ret_quals
-            if not nret:
+        def flush_retry(t: int):
+            if not nret[t]:
                 return
-            if self.retry_step is None:
-                self.retry_step = self._build_step(
-                    self.retry_E, with_annot=False, with_qual=wq)
-            nr_, nret = nret, 0
-            rc, rr, rq = ret_codes, ret_rlen, ret_quals
-            ret_codes = np.full((2 * self.P, self.L), 255, dtype=np.uint8)
-            ret_rlen = np.zeros(2 * self.P, dtype=np.int32)
+            Pt = self.retry_P[t]
+            if self.retry_steps[t] is None:
+                self.retry_steps[t] = self._build_step(
+                    self.retry_E[t], with_annot=False, with_qual=wq,
+                    P=Pt)
+            nr_, nret[t] = nret[t], 0
+            rc, rr, rq = ret_codes[t], ret_rlen[t], ret_quals[t]
+            ret_codes[t] = np.full((2 * Pt, self.L), 255, dtype=np.uint8)
+            ret_rlen[t] = np.zeros(2 * Pt, dtype=np.int32)
             if wq:
-                ret_quals = np.zeros((2 * self.P, self.L), dtype=np.uint8)
-            run_step(self.retry_step, rc, rr, nr_, rq, allow_retry=False)
+                ret_quals[t] = np.zeros((2 * Pt, self.L), dtype=np.uint8)
+            run_step(self.retry_steps[t], Pt, rc, rr, nr_, rq,
+                     next_tier=t + 1 if t + 1 < ntier else None)
 
         def full_step(codes, rlen, n, quals=None, lo=0):
-            run_step(self.step, codes, rlen, n, quals, allow_retry=True,
-                     lo=lo)
+            run_step(self.step, self.P, codes, rlen, n, quals,
+                     next_tier=0 if ntier else None, lo=lo)
             drain_steps(fs_window)
 
         # -bu flush cadence: the reference merges batch-local bubble maps
@@ -406,7 +436,7 @@ class DeviceAlignRunner:
             drain_steps()
             # config fingerprint — resume refuses on mismatch (pending
             # buffers + cursor granularity assume this configuration)
-            extra = dict(cfg_P=self.P, cfg_retry_E=self.retry_E or 0,
+            extra = dict(cfg_P=self.P, cfg_retry_E=sum(self.retry_E),
                          cfg_prefilter=int(bool(prefilter)))
             if prefilter:
                 extra.update(buf_codes=buf_codes, buf_rlen=buf_rlen,
@@ -414,11 +444,15 @@ class DeviceAlignRunner:
                              pre_P=Pp)
                 if wq:
                     extra["buf_quals"] = buf_quals
-            if self.retry_E:
-                extra.update(ret_codes=ret_codes, ret_rlen=ret_rlen,
-                             nret=nret, n_retried=self.n_retried)
+            for t in range(ntier):
+                pre = "ret" if t == 0 else f"ret{t}"
+                nkey = "nret" if t == 0 else f"nret{t}"
+                extra[f"{pre}_codes"] = ret_codes[t]
+                extra[f"{pre}_rlen"] = ret_rlen[t]
+                extra[nkey] = nret[t]
+                extra["n_retried"] = self.n_retried
                 if wq:
-                    extra["ret_quals"] = ret_quals
+                    extra[f"{pre}_quals"] = ret_quals[t]
             self._save_checkpoint(checkpoint, cursor, extra)
 
         pending: deque = deque()
@@ -512,8 +546,10 @@ class DeviceAlignRunner:
             drain_one()
         step_buf()
         drain_steps()
-        if self.retry_E:
-            flush_retry()
+        # flush the ladder in order: a tier's flush can overflow pairs
+        # into the next tier's buffer
+        for t in range(ntier):
+            flush_retry(t)
             drain_steps()
         self.host.flush_batch()
         if checkpoint and since:

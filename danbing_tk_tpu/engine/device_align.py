@@ -93,22 +93,27 @@ class DeviceRPGG:
 
         # trfl annotation entries; TR slot ids follow the .trkmc.ar flatten
         # order (per-locus insertion order of pan.tr.kmers).  Value
-        # encoding: (slot << 3) | (in_tr << 2) | ann; ann 1=flank 2=TR
-        # (flank wins when a kmer is in both sets, assignTRkmc :1464-1467,
-        # but aln-mode counting still needs the TR slot -> in_tr bit).
+        # encoding: (rank << 3) | (in_tr << 2) | ann, where rank is the
+        # slot's offset WITHIN its locus (slot = locus_offsets[dst] +
+        # rank, resolved on device); ann 1=flank 2=TR (flank wins when a
+        # kmer is in both sets, assignTRkmc :1464-1467, but aln-mode
+        # counting still needs the TR slot -> in_tr bit).  Rank encoding
+        # keeps the u32 value plane valid at production index scale:
+        # global slots reach 1.2e9 (>2^29, which a (slot<<3) u32 cannot
+        # hold), ranks stay < kmers-per-locus.
         tk, tl, tv = [], [], []
         offsets = np.zeros(rpgg.nloci + 1, dtype=np.int64)
         slot = 0
         for li in range(rpgg.nloci):
             offsets[li] = slot
             fl = rpgg.fl_sets[li]
-            for km in rpgg.tr_orders[li]:
+            for rank, km in enumerate(rpgg.tr_orders[li]):
                 tk.append(km)
                 tl.append(li)
                 if km in fl:
-                    tv.append((slot << 3) | (1 << 2) | ANN_FL)
+                    tv.append((rank << 3) | (1 << 2) | ANN_FL)
                 else:
-                    tv.append((slot << 3) | ANN_TR)
+                    tv.append((rank << 3) | ANN_TR)
                 slot += 1
             for km in fl:
                 if km not in rpgg.tr_counts[li]:
@@ -494,6 +499,10 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
         "dbi": [jnp.asarray(t) for t, _ in drp.dbi_tab.levels],
         "vv": jnp.asarray(vv8.reshape(-1, 8)),
         "trfl": [jnp.asarray(t) for t, _ in drp.trfl_tab.levels],
+        # per-locus slot bases: annotation values carry the RANK within
+        # the locus (u32-safe at any index size); slot = loff[dst] + rank
+        "loff": jnp.asarray(np.asarray(drp.locus_offsets,
+                                       np.int64).astype(np.int32)),
     }
     salts = {
         "dbi": [s for _, s in drp.dbi_tab.levels],
@@ -878,7 +887,8 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
         aval = jnp.where(ev_hit, annv, aval)
         afound = afound & dev_pair.repeat(2)[:, None]
         ann = jnp.where(afound, (aval & 3).astype(jnp.int32), 0)
-        slot = (aval >> 3).astype(jnp.int32)
+        base = tb["loff"][jnp.clip(dst0_read, 0, nloci).astype(jnp.int32)]
+        slot = base[:, None] + (aval >> 3).astype(jnp.int32)
 
         if DEBUG_STOP == 'annot':
             s2 = dict(state); s2['stats'] = state['stats'].at[0].add(

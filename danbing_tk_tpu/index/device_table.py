@@ -218,11 +218,14 @@ def build_bucket_table(keys, vals, loci=None, lam: float = 5.0,
     loc = None if loci is None else np.asarray(loci, dtype=np.uint32)
     v2 = None if vals2 is None else np.asarray(vals2, dtype=np.uint32)
 
-    idx = np.arange(len(keys))
+    # idx=None means the identity (level 0) — at 1e9+ keys the arange
+    # alone is ~10 GB, and the full-scale build is RAM-bound
+    idx = None
+    nidx = len(keys)
     levels = []
     salt = 0
     nlevel = 0
-    while len(idx):
+    while nidx:
         assert salt < max_levels + 16, "bucket table cascade diverged"
         # every level costs one full-width gather per probe at lookup
         # time, so the cascade depth IS the probe cost: level 0 packs
@@ -240,31 +243,43 @@ def build_bucket_table(keys, vals, loci=None, lam: float = 5.0,
             level_lam = lam if nlevel == 0 else 1.0
             ntry = 1 if nlevel == 0 else 16
         nb = 64
-        while nb * level_lam < len(idx):
+        while nb * level_lam < nidx:
             nb *= 2
+
+        def _at(a):
+            return a if idx is None else a[idx]
+
         best = None
         for s in range(salt, salt + ntry):
-            b = _salted_hash_np(lo[idx], hi[idx],
-                                None if loc is None else loc[idx],
+            b = _salted_hash_np(_at(lo), _at(hi),
+                                None if loc is None else _at(loc),
                                 s) & np.uint32(nb - 1)
             order = np.argsort(b, kind="stable")
             b_sorted = b[order]
-            # rank within bucket
+            del b
+            # rank within bucket (frees between salts bound the search's
+            # working set; at 1e9+ keys each temp is ~10 GB)
             first = np.ones(len(order), dtype=bool)
             first[1:] = b_sorted[1:] != b_sorted[:-1]
             grp = np.cumsum(first) - 1
             pos = np.arange(len(order)) - np.flatnonzero(first)[grp]
+            del first, grp
             fits = pos < BUCKET
             nover = int((~fits).sum())
             if best is None or nover < best[0]:
-                best = (nover, s, order, b_sorted, pos, fits)
+                best = (nover, s, order, b_sorted,
+                        pos.astype(np.uint8, copy=False) if nover == 0
+                        else pos, fits)
             if nover == 0:
                 break
         _, s, order, b_sorted, pos, fits = best
-        tab = np.full((nb, BUCKET, W), EMPTY, dtype=np.uint32)
-        sel = idx[order[fits]]
+        del best
+        sel = order[fits] if idx is None else idx[order[fits]]
         bb = b_sorted[fits]
-        pp = pos[fits]
+        pp = pos[fits].astype(np.uint8)
+        next_idx = order[~fits] if idx is None else idx[order[~fits]]
+        del order, b_sorted, pos, fits
+        tab = np.full((nb, BUCKET, W), EMPTY, dtype=np.uint32)
         tab[bb, pp, 0] = lo[sel]
         tab[bb, pp, 1] = hi[sel]
         if composite:
@@ -274,10 +289,12 @@ def build_bucket_table(keys, vals, loci=None, lam: float = 5.0,
             tab[bb, pp, vp] = vals[sel]
         if v2 is not None:
             tab[bb, pp, vp + 1] = v2[sel]
+        del sel, bb, pp
         # store rows FLAT (nb, BUCKET*W): 3-D row gathers lower ~3x slower
         # than 2-D on TPU; lookups reshape after the gather
         levels.append((tab.reshape(nb, BUCKET * W), s))
-        idx = idx[order[~fits]]
+        idx = next_idx
+        nidx = len(idx)
         salt = s + 1
         nlevel += 1
     return BucketTable(levels, composite, nval)

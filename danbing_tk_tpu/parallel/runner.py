@@ -52,10 +52,15 @@ class ShardedAlignRunner(DeviceAlignRunner):
     def _sharding(self):
         return NamedSharding(self.mesh, P("data"))
 
-    def _build_step(self, expand_cap, with_annot, with_qual):
+    def _tier_P(self, E: int) -> int:
+        # keep retry-tier batches mesh-divisible
+        base = super()._tier_P(E)
+        return max(self.ndev, (base // self.ndev) * self.ndev)
+
+    def _build_step(self, expand_cap, with_annot, with_qual, P=None):
         cfg = self.cfg
         step, _ = pm.make_sharded_step(
-            self.drp, cfg, self.mesh, self.P, self.L,
+            self.drp, cfg, self.mesh, P or self.P, self.L,
             expand_cap=expand_cap, with_annot=with_annot,
             with_bubbles=cfg.output_bubbles,
             shard_index=self.shard_index, with_qual=with_qual)

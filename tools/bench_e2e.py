@@ -19,6 +19,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
+# the axon sitecustomize force-sets jax_platforms to the remote TPU
+# tunnel regardless of JAX_PLATFORMS; DTK_FORCE_CPU=1 undoes that for
+# CPU smoke runs of this tool
+if os.environ.get("DTK_FORCE_CPU"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 
 def synth_reads(path, npairs, frac, seqs, L=150, err=0.0,
                 chunk=1_000_000, seed=3, flen=500, bg_pool=None):
@@ -140,7 +148,8 @@ def main():
                       okam=False)
     P = int(os.environ.get("DTK_E2E_P", 4096))
     E = int(os.environ.get("DTK_E2E_EXPAND", 512))
-    retry = int(os.environ.get("DTK_E2E_RETRY", 0))
+    retry = [int(x) for x in os.environ.get(
+        "DTK_E2E_RETRY", "0").split(",") if int(x)]
     al = DeviceAlignRunner(rpgg, cfg, batch_pairs=P, max_read_len=160,
                            expand_cap=E, retry_expand=retry)
     # compile both programs before the timed run (one-time cost per shape)
@@ -155,7 +164,7 @@ def main():
     # steady-state: second pass reuses the compiled programs
     al2 = DeviceAlignRunner(rpgg, cfg, batch_pairs=P, max_read_len=160,
                             expand_cap=E, retry_expand=retry)
-    al2.retry_step = al.retry_step
+    al2.retry_steps = al.retry_steps
     al2.prefilter_step = al.prefilter_step
     al2.prefilter_P = getattr(al, "prefilter_P", None)
     al2.step = al.step

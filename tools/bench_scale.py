@@ -23,6 +23,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
+# the axon sitecustomize force-sets jax_platforms to the remote TPU
+# tunnel regardless of JAX_PLATFORMS; DTK_FORCE_CPU=1 undoes that for
+# CPU smoke runs of this tool
+if os.environ.get("DTK_FORCE_CPU"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 
 def main():
     import jax

@@ -14,28 +14,25 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from tools.make_scale_index import build_scale_rpgg_cached  # noqa
+from tools.make_scale_index import build_full_tables  # noqa
 
 
 def main():
     nloci = int(sys.argv[1]) if len(sys.argv) > 1 else 80_000
     kpl = int(sys.argv[2]) if len(sys.argv) > 2 else 15_000
+    outdir = (sys.argv[3] if len(sys.argv) > 3
+              else os.path.join(os.path.dirname(__file__), "..", "build",
+                                f"full_index_{nloci}_{kpl}"))
     t0 = time.time()
-    drp, seqs = build_scale_rpgg_cached(nloci, kpl)
+    man = build_full_tables(outdir, nloci, kpl)
     wall = time.time() - t0
     rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6  # GB
-    dbi_keys = sum(t.shape[0] for t, _ in drp.dbi_tab.levels)
-    gb = dict(
-        dbi=drp.dbi_tab.nbytes / 1e9,
-        trfl=(drp.trfl_tab.nbytes / 1e9) if drp.trfl_tab else 0.0,
-        member=drp.member_tab.nbytes / 1e9,
-        vv=drp.vv.nbytes / 1e9,
-    )
-    print(f"FULL-INDEX nloci={nloci} kpl={kpl} slots={drp.nslots/1e9:.3f}e9"
+    gb = {p: man[p]["nbytes"] / 1e9 for p in ("dbi", "trfl")}
+    print(f"FULL-INDEX nloci={nloci} kpl={kpl} "
+          f"slots={man['nslots']/1e9:.3f}e9 keys={man['nkeys']/1e9:.3f}e9"
           f" wall={wall:.0f}s peak_rss={rss:.1f}GB"
           f" bytes: dbi={gb['dbi']:.2f} trfl={gb['trfl']:.2f}"
-          f" member={gb['member']:.2f} vv={gb['vv']:.2f}"
-          f" total={sum(gb.values()):.2f} GB")
+          f" total={sum(gb.values()):.2f} GB -> {outdir}")
 
 
 if __name__ == "__main__":
