@@ -77,7 +77,10 @@ class DeviceAlignRunner:
             from . import native_referee as nr
 
             if nr.available() and nr.supported(cfg):
-                self.referee = nr.NativeReferee(self.host)
+                # pooled: engine calls fan over threads (GIL released in
+                # C), verdicts apply in submission order at drain —
+                # sequential semantics, ~nthreads x the referee tail
+                self.referee = nr.ParallelReferee(self.host)
         self.kam_rows: list[str] = []
         self.extract_rows: list[str] = []
         self.aln_rows: list[str] = []
@@ -272,6 +275,9 @@ class DeviceAlignRunner:
         if ntier and pre_state is not None and "n_retried" in pre_state:
             self.n_retried = int(pre_state["n_retried"])
 
+        ref_submit = getattr(self.referee, "submit", None)
+        ref_flush = getattr(self.referee, "flush", lambda: None)
+
         def host_pair(codes, rlen, quals, i):
             self.n_referee += 1
             s1 = _decode(codes[2 * i], rlen[2 * i])
@@ -280,7 +286,10 @@ class DeviceAlignRunner:
             if cfg.is_fastq and quals is not None:
                 qs = (_decode_qual(quals[2 * i], rlen[2 * i]),
                       _decode_qual(quals[2 * i + 1], rlen[2 * i + 1]))
-            self.referee.process_pair(">r", s1, s2, -1, qs)
+            if ref_submit is not None:
+                ref_submit(">r", s1, s2, -1, qs)
+            else:
+                self.referee.process_pair(">r", s1, s2, -1, qs)
 
         # full steps are dispatched, then PROCESSED a few steps later
         # (fs_pending): the packed referee mask travels device->host via
@@ -434,6 +443,7 @@ class DeviceAlignRunner:
             # referee/retry side effects must be complete up to the saved
             # cursor; in-flight full steps are part of checkpoint state
             drain_steps()
+            ref_flush()
             # config fingerprint — resume refuses on mismatch (pending
             # buffers + cursor granularity assume this configuration)
             extra = dict(cfg_P=self.P, cfg_retry_E=sum(self.retry_E),
@@ -551,6 +561,7 @@ class DeviceAlignRunner:
         for t in range(ntier):
             flush_retry(t)
             drain_steps()
+        ref_flush()
         self.host.flush_batch()
         if checkpoint and since:
             save_ckpt()

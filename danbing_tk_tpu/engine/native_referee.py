@@ -17,6 +17,9 @@ from __future__ import annotations
 
 import ctypes as C
 import os
+import threading as _threading
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -113,30 +116,34 @@ class NativeReferee:
                     self.lib.dtk_eng_set_bait(
                         self.h, li, bk.ctypes.data_as(u64p),
                         bv.ctypes.data_as(C.POINTER(C.c_uint16)), len(bk))
-        self._vd = np.zeros(64, dtype=np.int64)
-        cap = 1024
-        self._as1 = np.zeros(cap, dtype=np.uint8)
-        self._as2 = np.zeros(cap, dtype=np.uint8)
-        self._km1 = np.zeros(cap, dtype=np.uint64)
-        self._km2 = np.zeros(cap, dtype=np.uint64)
+        self._scratch = _threading.local()
+
+    def _buffers(self, cap_min: int = 1024):
+        """Per-thread scratch: the engine handle is read-only after
+        construction, so concurrent dtk_eng_pair calls (which release
+        the GIL) are safe as long as output buffers are thread-local."""
+        s = self._scratch
+        if getattr(s, "as1", None) is None or len(s.as1) < cap_min:
+            cap = max(1024, cap_min)
+            s.vd = np.zeros(64, dtype=np.int64)
+            s.as1 = np.zeros(cap, dtype=np.uint8)
+            s.as2 = np.zeros(cap, dtype=np.uint8)
+            s.km1 = np.zeros(cap, dtype=np.uint64)
+            s.km2 = np.zeros(cap, dtype=np.uint64)
+        return s
 
     def __del__(self):
         if getattr(self, "h", None):
             self.lib.dtk_eng_free(self.h)
             self.h = None
 
-    def process_pair(self, title, seq1, seq2, src=-1, quals=(None, None)):
-        cfg, host = self.cfg, self.host
-        g = host.g
-        st = host.stats
+    def _call(self, seq1, seq2, quals):
+        """Engine call only (no state mutation; GIL released inside the
+        C call).  Returns the verdict tuple for _apply."""
+        cfg = self.cfg
         q1 = quals[0].encode() if cfg.is_fastq and quals[0] else None
         q2 = quals[1].encode() if cfg.is_fastq and quals[1] else None
-        cap = max(len(seq1), len(seq2)) + 8
-        if cap > len(self._as1):
-            self._as1 = np.zeros(cap, dtype=np.uint8)
-            self._as2 = np.zeros(cap, dtype=np.uint8)
-            self._km1 = np.zeros(cap, dtype=np.uint64)
-            self._km2 = np.zeros(cap, dtype=np.uint64)
+        s = self._buffers(max(len(seq1), len(seq2)) + 8)
         u64p = C.POINTER(C.c_uint64)
         u8p = C.POINTER(C.c_uint8)
         stage = self.lib.dtk_eng_pair(
@@ -144,11 +151,24 @@ class NativeReferee:
             q1, q2, cfg.ksize, cfg.cth, cfg.n_filter, cfg.nm_filter,
             cfg.nm_tr, cfg.max_nt, int(cfg.okam), int(cfg.bait),
             int(cfg.qc), cfg.qth,
-            self._vd.ctypes.data_as(C.POINTER(C.c_int64)),
-            self._as1.ctypes.data_as(u8p), self._as2.ctypes.data_as(u8p),
-            self._km1.ctypes.data_as(u64p),
-            self._km2.ctypes.data_as(u64p))
-        vd = self._vd
+            s.vd.ctypes.data_as(C.POINTER(C.c_int64)),
+            s.as1.ctypes.data_as(u8p), s.as2.ctypes.data_as(u8p),
+            s.km1.ctypes.data_as(u64p),
+            s.km2.ctypes.data_as(u64p))
+        vd = s.vd
+        nk1, nk2 = int(vd[3]), int(vd[4])
+        return (stage, vd.copy(), s.as1[:nk1].copy(), s.as2[:nk2].copy(),
+                s.km1[:nk1].copy(), s.km2[:nk2].copy())
+
+    def process_pair(self, title, seq1, seq2, src=-1, quals=(None, None)):
+        self._apply(self._call(seq1, seq2, quals),
+                    title, seq1, seq2, src, quals)
+
+    def _apply(self, verdict, title, seq1, seq2, src, quals):
+        cfg, host = self.cfg, self.host
+        g = host.g
+        st = host.stats
+        stage, vd, as1, as2, km1, km2 = verdict
         dest, dst0 = int(vd[1]), int(vd[2])
         nk1, nk2 = int(vd[3]), int(vd[4])
         r1, r2 = ReadAsgn(), ReadAsgn()
@@ -183,8 +203,8 @@ class NativeReferee:
             rm_pre1, rm_pre2 = int(vd[35]), int(vd[36])
             st["nBaitFiltered"] += (r1.bf & (not rm_pre1)) + (
                 r2.bf & (not rm_pre2))
-        r1.as_ = self._as1[:nk1].tolist()
-        r2.as_ = self._as2[:nk2].tolist()
+        r1.as_ = as1.tolist()
+        r2.as_ = as2.tolist()
         if not (r1.rm and r2.rm):
             n = 2 - r1.rm - r2.rm
             host.nmapread[dest] += n
@@ -194,12 +214,58 @@ class NativeReferee:
             if not r1.rm:
                 for i in range(nk1):
                     if r1.as_[i] == 2:
-                        trc[int(self._km1[i])] += 1
+                        trc[int(km1[i])] += 1
             if not r2.rm:
                 for i in range(nk2):
                     if r2.as_[i] == 2:
-                        trc[int(self._km2[i])] += 1
+                        trc[int(km2[i])] += 1
         if cfg.okam and ((src != g.nloci and src != -1) or dest != g.nloci):
             host.kam_rows.append(
                 _kam_row(title, src, dest, dst0, r1, r2, seq1, seq2,
                          cfg.is_fastq, quals[0] or ".", quals[1] or "."))
+
+
+class ParallelReferee(NativeReferee):
+    """NativeReferee with the engine calls fanned over a thread pool.
+
+    dtk_eng_pair releases the GIL for the whole C computation and the
+    engine is read-only after construction, so N workers overlap the
+    expensive part; state application (Python dict/array mutation, kam
+    rows) happens in SUBMISSION order at drain time — sequential
+    semantics, parallel compute.  At real-panel referee rates (test2
+    boundaries ~17% of survivors) the single-threaded referee would
+    dominate the funnel wall; this keeps it in the device-queue shadow.
+    """
+
+    def __init__(self, host: HostAligner, nthreads: int | None = None):
+        super().__init__(host)
+        if nthreads is None:
+            nthreads = int(os.environ.get(
+                "DTK_REFEREE_THREADS", min(4, os.cpu_count() or 1)))
+        self.nthreads = max(1, nthreads)
+        self._pool = ThreadPoolExecutor(self.nthreads)
+        self._pending: deque = deque()
+
+    def submit(self, title, seq1, seq2, src=-1, quals=(None, None)):
+        self._pending.append(
+            (self._pool.submit(self._call, seq1, seq2, quals),
+             title, seq1, seq2, src, quals))
+        if len(self._pending) > 8192:
+            self._drain_one()
+
+    def _drain_one(self):
+        fut, title, s1, s2, src, quals = self._pending.popleft()
+        self._apply(fut.result(), title, s1, s2, src, quals)
+
+    def flush(self):
+        while self._pending:
+            self._drain_one()
+
+    def process_pair(self, title, seq1, seq2, src=-1, quals=(None, None)):
+        # synchronous API (kam-row pop pattern); keep order vs pending
+        self.flush()
+        super().process_pair(title, seq1, seq2, src, quals)
+
+    def close(self):
+        self.flush()
+        self._pool.shutdown(wait=True)
