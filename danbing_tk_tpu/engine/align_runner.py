@@ -164,9 +164,13 @@ class DeviceAlignRunner:
         at the reference's reads_per_batch flush cadence, so the .bub
         output is byte-identical to the slow path / reference."""
         cfg = self.cfg
-        assert not cfg.okam and not cfg.simmode, \
-            "native path covers counting (+ -bu bubble) modes"
         bub = cfg.output_bubbles
+        # okam/simmode ride the fast path too: the reference emits .kam
+        # in its one monolithic pass (writeKmerAssignments, :2169-2175);
+        # rows are assembled from the device outputs per pair, titles
+        # stream through the repack buffers, src parses from the title
+        okam = cfg.okam
+        sim = cfg.simmode
         if bub:
             # byte-exact .bub needs every pair handled in file order at
             # the reference's batch cadence; the retry path defers
@@ -176,9 +180,17 @@ class DeviceAlignRunner:
                 "-bu on the native path requires retry_expand=0"
             assert checkpoint is None, \
                 "checkpointing covers counting mode only"
+        if okam:
+            # .kam row order must interleave device and referee rows in
+            # pair order, and the retry path defers pairs out of order
+            assert not self.retry_E, \
+                "okam on the native path requires retry_expand=0"
+            assert checkpoint is None, \
+                "checkpointing covers counting mode only"
         from ..io.native_reader import NativeBatchReader
 
         wq = self.with_qual
+        wt = okam                         # titles ride along for .kam rows
         # prefilter dispatches carry DTK_PREFILTER_MULT x the full-step
         # batch: the prefilter's per-read device cost is tiny, so bigger
         # dispatches amortize the per-call round trip (the dominant cost
@@ -194,6 +206,7 @@ class DeviceAlignRunner:
             buf_rlen = np.zeros(2 * self.P, dtype=np.int32)
             buf_quals = np.zeros((2 * self.P, self.L), dtype=np.uint8) \
                 if wq else None
+            buf_titles = np.empty(self.P, dtype=object) if wt else None
         nbuf = 0
 
         done, pre_state = (self._load_checkpoint(checkpoint)
@@ -240,7 +253,7 @@ class DeviceAlignRunner:
         since = 0
         reader = NativeBatchReader(
             path, Pp, self.L, is_fastq=cfg.is_fastq,
-            min_read_size=cfg.cth + cfg.ksize - 1, with_titles=False,
+            min_read_size=cfg.cth + cfg.ksize - 1, with_titles=wt,
             with_quals=wq)
         depth = int(os.environ.get("DTK_READER_PREFETCH", "4"))
         if depth > 0:
@@ -277,8 +290,17 @@ class DeviceAlignRunner:
 
         ref_submit = getattr(self.referee, "submit", None)
         ref_flush = getattr(self.referee, "flush", lambda: None)
+        from .host_align import (parse_read_name_sim1,
+                                 parse_read_name_sim2)
 
-        def host_pair(codes, rlen, quals, i):
+        def pair_src(title):
+            if sim == 2:
+                return parse_read_name_sim2(title, self.rpgg.nloci)
+            if sim == 1:
+                return parse_read_name_sim1(title)
+            return -1
+
+        def host_pair(codes, rlen, quals, i, titles=None):
             self.n_referee += 1
             s1 = _decode(codes[2 * i], rlen[2 * i])
             s2 = _decode(codes[2 * i + 1], rlen[2 * i + 1])
@@ -286,10 +308,20 @@ class DeviceAlignRunner:
             if cfg.is_fastq and quals is not None:
                 qs = (_decode_qual(quals[2 * i], rlen[2 * i]),
                       _decode_qual(quals[2 * i + 1], rlen[2 * i + 1]))
-            if ref_submit is not None:
-                ref_submit(">r", s1, s2, -1, qs)
+            # native titles come '>'-stripped and pruned
+            title = ">" + titles[i] if titles is not None else ">r"
+            src = pair_src(title) if sim else -1
+            if okam:
+                # synchronous: the referee's freshly appended .kam row
+                # moves into the runner's sink in pair order
+                nrow0 = len(self.host.kam_rows)
+                self.referee.process_pair(title, s1, s2, src, qs)
+                if len(self.host.kam_rows) > nrow0:
+                    self.kam_rows.append(self.host.kam_rows.pop())
+            elif ref_submit is not None:
+                ref_submit(title, s1, s2, src, qs)
             else:
-                self.referee.process_pair(">r", s1, s2, -1, qs)
+                self.referee.process_pair(title, s1, s2, src, qs)
 
         # full steps are dispatched, then PROCESSED a few steps later
         # (fs_pending): the packed referee mask travels device->host via
@@ -300,8 +332,13 @@ class DeviceAlignRunner:
         fs_pending: deque = deque()
         fs_window = 3
 
+        KAM_KEYS = ("nonshort", "sub_drop", "pair_alive", "qc_drop",
+                    "vote_pass", "counted", "dest", "dst0", "kf", "hf",
+                    "bf", "rm", "af", "nt", "bs", "ti", "si", "ei", "nk",
+                    "ann")
+
         def run_step(step_fn, liveP, codes, rlen, hi, quals, next_tier,
-                     lo=0):
+                     lo=0, titles=None):
             live = np.zeros(liveP, dtype=bool)
             live[lo:hi] = True
             if wq:
@@ -312,17 +349,19 @@ class DeviceAlignRunner:
                 self.state, out = step_fn(self.state, codes, rlen, live)
             pack = out["referee_pack"]
             extras = (out["novel_pack"], out["dest"]) if bub else ()
-            for a in (pack,) + extras:
+            kam_out = {k: out[k] for k in KAM_KEYS} if okam else None
+            for a in (pack,) + extras + (tuple(kam_out.values())
+                                         if kam_out else ()):
                 try:
                     a.copy_to_host_async()
                 except AttributeError:
                     pass
             fs_pending.append((pack, extras, codes, rlen, hi, quals,
-                               next_tier))
+                               next_tier, lo, titles, kam_out))
 
         def process_step():
             (pack, extras, codes, rlen, n, quals,
-             next_tier) = fs_pending.popleft()
+             next_tier, lo, titles, kam_out) = fs_pending.popleft()
             pk = np.asarray(pack)[:n]
             referee = (pk & 1) != 0
             for bit, key in ((2, "tie"), (4, "ovf"), (8, "t2")):
@@ -338,11 +377,20 @@ class DeviceAlignRunner:
                 dest_arr = np.asarray(extras[1])[:n]
             else:
                 pair_bub = np.zeros(n, dtype=bool)
+            if okam:
+                ko = {k: np.asarray(v) for k, v in kam_out.items()}
+                todo = np.arange(lo, n)
+            else:
+                todo = np.nonzero(referee | pair_bub)[0]
             # file order interleaves referee side effects (their bubbles
-            # accumulate inside host.process_pair) with device-pair
-            # bubble inserts — np.nonzero is ascending, so this matches
-            # the slow path's per-pair loop exactly
-            for i in np.nonzero(referee | pair_bub)[0]:
+            # and .kam rows accumulate inside host.process_pair) with
+            # device-pair output — ascending order matches the slow
+            # path's per-pair loop exactly
+            for i in todo:
+                if okam and not (referee[i] or pair_bub[i]):
+                    self._kam_device_pair(ko, codes, rlen, quals, titles,
+                                          int(i))
+                    continue
                 if pair_bub[i]:
                     d = int(dest_arr[i])
                     for m in (0, 1):
@@ -351,8 +399,11 @@ class DeviceAlignRunner:
                             self._add_bubbles_codes(
                                 d, codes[ridx], int(rlen[ridx]),
                                 np.unpackbits(novp[ridx]))
+                    if okam:
+                        self._kam_device_pair(ko, codes, rlen, quals,
+                                              titles, int(i))
                 elif not ovf[i]:
-                    host_pair(codes, rlen, quals, i)
+                    host_pair(codes, rlen, quals, i, titles)
                 else:
                     t = next_tier
                     self.n_retried += 1
@@ -389,9 +440,9 @@ class DeviceAlignRunner:
             run_step(self.retry_steps[t], Pt, rc, rr, nr_, rq,
                      next_tier=t + 1 if t + 1 < ntier else None)
 
-        def full_step(codes, rlen, n, quals=None, lo=0):
+        def full_step(codes, rlen, n, quals=None, lo=0, titles=None):
             run_step(self.step, self.P, codes, rlen, n, quals,
-                     next_tier=0 if ntier else None, lo=lo)
+                     next_tier=0 if ntier else None, lo=lo, titles=titles)
             drain_steps(fs_window)
 
         # -bu flush cadence: the reference merges batch-local bubble maps
@@ -402,17 +453,20 @@ class DeviceAlignRunner:
         next_flush = Bflush
 
         def step_buf():
-            nonlocal nbuf, buf_codes, buf_rlen, buf_quals
+            nonlocal nbuf, buf_codes, buf_rlen, buf_quals, buf_titles
             if not nbuf:
                 return
-            full_step(buf_codes, buf_rlen, nbuf, buf_quals)
+            full_step(buf_codes, buf_rlen, nbuf, buf_quals,
+                      titles=buf_titles)
             buf_codes = np.full((2 * self.P, self.L), 255, dtype=np.uint8)
             buf_rlen = np.zeros(2 * self.P, dtype=np.int32)
             if wq:
                 buf_quals = np.zeros((2 * self.P, self.L), dtype=np.uint8)
+            if wt:
+                buf_titles = np.empty(self.P, dtype=object)
             nbuf = 0
 
-        def copy_survivors(sel, codes, rlen, quals):
+        def copy_survivors(sel, codes, rlen, quals, titles=None):
             # block-copy survivors into the repack buffer (chunked at
             # full-step boundaries); row indices interleave the two mates
             nonlocal nbuf
@@ -426,6 +480,9 @@ class DeviceAlignRunner:
                 buf_rlen[dst] = rlen[src]
                 if wq:
                     buf_quals[dst] = quals[src]
+                if wt:
+                    buf_titles[nbuf: nbuf + len(chunk)] = \
+                        np.asarray(titles, dtype=object)[chunk]
                 nbuf += len(chunk)
                 if nbuf == self.P:
                     step_buf()
@@ -470,12 +527,12 @@ class DeviceAlignRunner:
 
         def drain_one():
             nonlocal cursor, since
-            codes, rlen, quals, n, fut = pending.popleft()
+            codes, rlen, quals, titles, n, fut = pending.popleft()
             surv = np.asarray(fut)[:n]
             idx = np.nonzero(surv)[0]
             self.n_prefiltered += int(n - len(idx))
             if not bub:
-                copy_survivors(idx, codes, rlen, quals)
+                copy_survivors(idx, codes, rlen, quals, titles)
             else:
                 # survivors strictly segment-by-segment: all pairs before
                 # a flush boundary must be processed + merged before any
@@ -484,7 +541,7 @@ class DeviceAlignRunner:
                 while True:
                     rel = next_flush - cursor
                     q = int(np.searchsorted(idx[p:], rel)) + p
-                    copy_survivors(idx[p:q], codes, rlen, quals)
+                    copy_survivors(idx[p:q], codes, rlen, quals, titles)
                     p = q
                     if rel > n:
                         break
@@ -498,6 +555,7 @@ class DeviceAlignRunner:
         try:
             for rec in reader:
                 codes, rlen, n = rec[0], rec[1], rec[2]
+                titles = rec[3] if wt else None
                 quals = rec[4] if wq else None
                 if cursor + n <= done:
                     cursor += n
@@ -525,12 +583,12 @@ class DeviceAlignRunner:
                         fut.copy_to_host_async()
                     except AttributeError:
                         pass
-                    pending.append((codes, rlen, quals, n, fut))
+                    pending.append((codes, rlen, quals, titles, n, fut))
                     if len(pending) >= pre_window:
                         drain_one()
                 else:
                     if not bub:
-                        full_step(codes, rlen, n, quals)
+                        full_step(codes, rlen, n, quals, titles=titles)
                     else:
                         # split the dispatch at flush boundaries (live
                         # range [lo, hi)); merge between the halves
@@ -538,11 +596,13 @@ class DeviceAlignRunner:
                         while next_flush - cursor <= n:
                             rel = next_flush - cursor
                             if rel > lo:
-                                full_step(codes, rlen, rel, quals, lo=lo)
+                                full_step(codes, rlen, rel, quals, lo=lo,
+                                          titles=titles)
                                 lo = rel
                             batch_flush_barrier()
                         if n > lo:
-                            full_step(codes, rlen, n, quals, lo=lo)
+                            full_step(codes, rlen, n, quals, lo=lo,
+                                      titles=titles)
                     cursor += n
                     since += n
                     if checkpoint and since >= checkpoint_every:
@@ -801,6 +861,44 @@ class DeviceAlignRunner:
         from ..io.rowsink import finalize_rows
 
         finalize_rows(self.aln_rows, path)
+
+    def _kam_device_pair(self, ko, codes, rlen, quals, titles, i):
+        """Native-path twin of _post_chunk's device-pair .kam emission:
+        the same filter/field logic over the async-fetched out planes,
+        seqs decoded from the packed codes only for emitted rows."""
+        cfg = self.cfg
+        nloci = self.rpgg.nloci
+        if not ko["nonshort"][i] or ko["sub_drop"][i]:
+            return
+        if not ko["pair_alive"][i]:
+            return
+        if ko["qc_drop"][i]:
+            return
+        title = ">" + titles[i]          # native titles are '>'-stripped
+        src = -1
+        if cfg.simmode == 2:
+            from .host_align import parse_read_name_sim2
+
+            src = parse_read_name_sim2(title, nloci)
+        elif cfg.simmode == 1:
+            from .host_align import parse_read_name_sim1
+
+            src = parse_read_name_sim1(title)
+        dest = int(ko["dest"][i]) if ko["counted"][i] else nloci
+        if not ko["vote_pass"][i]:
+            dest = nloci
+        if not ((src != nloci and src != -1) or dest != nloci):
+            return
+        dst0 = int(ko["dst0"][i])
+        s1 = _decode(codes[2 * i], rlen[2 * i])
+        s2 = _decode(codes[2 * i + 1], rlen[2 * i + 1])
+        qs = (None, None)
+        if cfg.is_fastq and quals is not None:
+            qs = (_decode_qual(quals[2 * i], rlen[2 * i]),
+                  _decode_qual(quals[2 * i + 1], rlen[2 * i + 1]))
+        self.kam_rows.append(
+            self._kam_from_device(title, src, dest, dst0, ko, i, s1, s2,
+                                  qs))
 
     def _add_bubbles_codes(self, dest, codes_row, rl, novel_bits):
         """Native-path twin of _add_bubbles: reads arrive as 2-bit codes,
