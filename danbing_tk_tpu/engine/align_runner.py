@@ -39,7 +39,7 @@ def _decode_qual(quals: np.ndarray, rlen: int) -> str:
 class DeviceAlignRunner:
     def __init__(self, rpgg: RPGG, cfg: AlignConfig, batch_pairs: int = 4096,
                  max_read_len: int = 256, expand_cap: int = 512,
-                 retry_expand: int | list = 0):
+                 retry_expand: int | list = 0, drp=None):
         # expand_cap bounds the per-pair (kmer -> loci) expansion; pairs
         # exceeding it fall to the host referee (exact).  Smaller caps cut
         # device time ~35% but blow up the referee rate on RPGGs with
@@ -52,11 +52,16 @@ class DeviceAlignRunner:
         # read's k-mers legitimately map to many loci) stay on device.
         # Tier batch sizes shrink as E grows so the (P, E) working set
         # stays bounded.
+        # rpgg may be a host_align.RPGG (dict-backed, built from the text
+        # formats) or a flat_rpgg.FlatRPGG view; with `drp` given the
+        # device index is taken as-is (production-scale runs build it
+        # directly from flat arrays, skipping the dict detour entirely)
         self.rpgg = rpgg
         self.cfg = cfg
         self.P = batch_pairs
         self.L = max_read_len
-        self.drp = da.DeviceRPGG.build(rpgg, with_tre=cfg.output_bubbles)
+        self.drp = drp if drp is not None else \
+            da.DeviceRPGG.build(rpgg, with_tre=cfg.output_bubbles)
         if cfg.threading:
             self.drp.add_graph(rpgg)
         # fastq + bait needs the reference's quality mask in the bait

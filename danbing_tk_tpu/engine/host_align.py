@@ -961,6 +961,10 @@ class HostAligner:
                     f.write(f"{km}\t{cnt[km]}\n")
 
     def flat_counts(self) -> np.ndarray:
+        fc = getattr(self.g, "flat_counts", None)
+        if fc is not None:
+            # flat host view: counts already live in trkmc flatten order
+            return fc()
         out = []
         for i in range(self.g.nloci):
             cnt = self.g.tr_counts[i]

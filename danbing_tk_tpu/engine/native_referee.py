@@ -57,6 +57,10 @@ def _load():
     lib.dtk_eng_new.restype = C.c_void_p
     lib.dtk_eng_new.argtypes = [u64p, u32p, C.c_int64, u32p, C.c_int64,
                                 C.c_int64, u8p]
+    lib.dtk_eng_new_flat.restype = C.c_void_p
+    lib.dtk_eng_new_flat.argtypes = [u64p, u32p, C.c_int64, u32p,
+                                     C.c_int64, C.c_int64, u8p,
+                                     u64p, i64p, u64p, i64p]
     lib.dtk_eng_set_locus.argtypes = [C.c_void_p, C.c_int64, u64p,
                                       C.c_int64, u64p, C.c_int64]
     lib.dtk_eng_set_bait.argtypes = [C.c_void_p, C.c_int64, u64p, u16p,
@@ -81,32 +85,55 @@ class NativeReferee:
         self.cfg = host.cfg
         self.lib = _load()
         g = host.g
-        keys = np.fromiter(g.dbi.keys(), dtype=np.uint64, count=len(g.dbi))
-        vals = np.fromiter(g.dbi.values(), dtype=np.uint32,
-                           count=len(g.dbi))
-        vv = np.ascontiguousarray(g.vv, dtype=np.uint32)
-        if len(vv) == 0:
-            vv = np.zeros(1, dtype=np.uint32)
+        u64p = C.POINTER(C.c_uint64)
+        u32p = C.POINTER(C.c_uint32)
+        i64p = C.POINTER(C.c_int64)
         qc = None
         if self.cfg.qc and g.qc_filter is not None:
             qc = np.ascontiguousarray(g.qc_filter, dtype=np.uint8)
-        u64p = C.POINTER(C.c_uint64)
-        u32p = C.POINTER(C.c_uint32)
-        self._keep = (keys, vals, vv, qc)
-        self.h = self.lib.dtk_eng_new(
-            keys.ctypes.data_as(u64p), vals.ctypes.data_as(u32p),
-            len(keys), vv.ctypes.data_as(u32p), len(vv), g.nloci,
-            qc.ctypes.data_as(C.POINTER(C.c_uint8))
-            if qc is not None else None)
-        for li in range(g.nloci):
-            trk = np.fromiter(g.tr_counts[li].keys(), dtype=np.uint64,
-                              count=len(g.tr_counts[li]))
-            flk = np.fromiter(g.fl_sets[li], dtype=np.uint64,
-                              count=len(g.fl_sets[li]))
-            self.lib.dtk_eng_set_locus(
-                self.h, li, trk.ctypes.data_as(u64p), len(trk),
-                flk.ctypes.data_as(u64p), len(flk))
-            if self.cfg.bait and g.bait_dbs is not None:
+        qcp = (qc.ctypes.data_as(C.POINTER(C.c_uint8))
+               if qc is not None else None)
+        if hasattr(g, "engine_arrays"):
+            # flat host view (flat_rpgg.FlatRPGG): the engine keeps
+            # zero-copy binary-search views over the sorted arrays —
+            # no 1e8-entry hash build at production index scale
+            keys, vals, vv, trk, tro, flk, flo = (
+                np.ascontiguousarray(a) for a in g.engine_arrays())
+            if len(vv) == 0:
+                vv = np.zeros(1, dtype=np.uint32)
+            if len(flk) == 0:
+                flk = np.zeros(1, dtype=np.uint64)
+            self._keep = (keys, vals, vv, trk, tro, flk, flo, qc)
+            self.h = self.lib.dtk_eng_new_flat(
+                keys.ctypes.data_as(u64p), vals.ctypes.data_as(u32p),
+                len(keys), vv.ctypes.data_as(u32p), len(vv), g.nloci,
+                qcp, trk.ctypes.data_as(u64p),
+                tro.ctypes.data_as(i64p), flk.ctypes.data_as(u64p),
+                flo.ctypes.data_as(i64p))
+        else:
+            keys = np.fromiter(g.dbi.keys(), dtype=np.uint64,
+                               count=len(g.dbi))
+            vals = np.fromiter(g.dbi.values(), dtype=np.uint32,
+                               count=len(g.dbi))
+            vv = np.ascontiguousarray(g.vv, dtype=np.uint32)
+            if len(vv) == 0:
+                vv = np.zeros(1, dtype=np.uint32)
+            self._keep = (keys, vals, vv, qc)
+            self.h = self.lib.dtk_eng_new(
+                keys.ctypes.data_as(u64p), vals.ctypes.data_as(u32p),
+                len(keys), vv.ctypes.data_as(u32p), len(vv), g.nloci,
+                qcp)
+            for li in range(g.nloci):
+                trk = np.fromiter(g.tr_counts[li].keys(),
+                                  dtype=np.uint64,
+                                  count=len(g.tr_counts[li]))
+                flk = np.fromiter(g.fl_sets[li], dtype=np.uint64,
+                                  count=len(g.fl_sets[li]))
+                self.lib.dtk_eng_set_locus(
+                    self.h, li, trk.ctypes.data_as(u64p), len(trk),
+                    flk.ctypes.data_as(u64p), len(flk))
+        if self.cfg.bait and g.bait_dbs is not None:
+            for li in range(g.nloci):
                 bdb = g.bait_dbs[li]
                 if bdb:
                     bk = np.fromiter(bdb.keys(), dtype=np.uint64,

@@ -41,13 +41,61 @@ const uint8_t B2N[256] = {
 
 struct Eng {
     std::unordered_map<uint64_t, uint32_t> dbi;
-    vector<uint32_t> vv;
+    vector<uint32_t> vv_own;
+    const uint32_t* vv = nullptr;   // hash mode: vv_own.data()
     int64_t nloci;
     vector<std::unordered_set<uint64_t>> tr, fl;
     vector<std::unordered_map<uint64_t, uint16_t>> bait;
     vector<uint8_t> qc;
     bool has_qc = false;
+    // flat mode (production scale): zero-copy views over the caller's
+    // sorted arrays — no 1e8-entry hash build, binary-search probes.
+    // The caller owns the memory for the engine's lifetime.
+    bool flat = false;
+    const uint64_t* fkeys = nullptr;    // sorted dbi keys
+    const uint32_t* fvals = nullptr;
+    int64_t fn = 0;
+    const uint64_t* ftrk = nullptr;     // per-locus sorted TR kmers (CSR)
+    const int64_t* ftro = nullptr;      // offsets, nloci+1
+    const uint64_t* fflk = nullptr;     // per-locus sorted flank kmers
+    const int64_t* fflo = nullptr;
 };
+
+inline bool sorted_has(const uint64_t* a, int64_t lo, int64_t hi,
+                       uint64_t km) {
+    const uint64_t* p = std::lower_bound(a + lo, a + hi, km);
+    return p != a + hi && *p == km;
+}
+
+inline bool dbi_has(const Eng& e, uint64_t km) {
+    if (e.flat) return sorted_has(e.fkeys, 0, e.fn, km);
+    return e.dbi.count(km) != 0;
+}
+
+inline bool dbi_get(const Eng& e, uint64_t km, uint32_t* val) {
+    if (e.flat) {
+        const uint64_t* p = std::lower_bound(e.fkeys, e.fkeys + e.fn, km);
+        if (p == e.fkeys + e.fn || *p != km) return false;
+        *val = e.fvals[p - e.fkeys];
+        return true;
+    }
+    auto it = e.dbi.find(km);
+    if (it == e.dbi.end()) return false;
+    *val = it->second;
+    return true;
+}
+
+inline bool in_tr(const Eng& e, int64_t locus, uint64_t km) {
+    if (e.flat)
+        return sorted_has(e.ftrk, e.ftro[locus], e.ftro[locus + 1], km);
+    return e.tr[locus].count(km) != 0;
+}
+
+inline bool in_fl(const Eng& e, int64_t locus, uint64_t km) {
+    if (e.flat)
+        return sorted_has(e.fflk, e.fflo[locus], e.fflo[locus + 1], km);
+    return e.fl[locus].count(km) != 0;
+}
 
 // canonical k-mers with NAN64 at invalid windows (ops/kmers_np semantics)
 void seq2cakmers(const char* seq, int64_t n, int k, vector<uint64_t>& out) {
@@ -85,7 +133,7 @@ bool subfilter_one(const Eng& e, const vector<uint64_t>& kms, int nf,
     int h = 0;
     for (int i = 0; i < nf; ++i) {
         int64_t i1 = (i != nf - 1) ? i * S : L - 1;
-        if (e.dbi.count(kms[i1])) {
+        if (dbi_has(e, kms[i1])) {
             if (++h >= nmf) break;
         }
     }
@@ -100,14 +148,14 @@ int kfilter(const Eng& e, const vector<uint64_t>& kms, int cth,
     if (nk < cth) return 1;
     int64_t max_ns = nk - cth, ns = 0;
     for (uint64_t km : kms) {
-        auto it = e.dbi.find(km);
-        if (it == e.dbi.end()) {
+        uint32_t v;
+        if (!dbi_get(e, km, &v)) {
             if (++ns > max_ns) {
                 its.clear();
                 return 1;
             }
         } else {
-            its.emplace_back(km, it->second);
+            its.emplace_back(km, v);
         }
     }
     return 0;
@@ -323,11 +371,9 @@ void assign_trkmc(const Eng& e, int64_t locus, const vector<uint64_t>& kms,
     if (!okam && r.rm) return;
     int64_t nk = kms.size();
     int64_t ntr = 0;
-    const auto& flset = e.fl[locus];
-    const auto& trset = e.tr[locus];
     for (int64_t i = 0; i < nk; ++i) {
-        if (flset.count(kms[i])) as_[i] = 1;
-        else if (trset.count(kms[i])) {
+        if (in_fl(e, locus, kms[i])) as_[i] = 1;
+        else if (in_tr(e, locus, kms[i])) {
             as_[i] = 2;
             ++ntr;
         }
@@ -430,10 +476,39 @@ void* dtk_eng_new(const uint64_t* dbi_keys, const uint32_t* dbi_vals,
     Eng* e = new Eng();
     e->dbi.reserve(n);
     for (int64_t i = 0; i < n; ++i) e->dbi[dbi_keys[i]] = dbi_vals[i];
-    e->vv.assign(vv, vv + nvv);
+    e->vv_own.assign(vv, vv + nvv);
+    e->vv = e->vv_own.data();
     e->nloci = nloci;
     e->tr.resize(nloci);
     e->fl.resize(nloci);
+    e->bait.resize(nloci);
+    if (qc) {
+        e->qc.assign(qc, qc + nloci);
+        e->has_qc = true;
+    }
+    return e;
+}
+
+// Production-scale constructor: sorted-array views, ZERO copies.  The
+// caller (engine/native_referee.py) keeps every array alive for the
+// engine's lifetime; dbi keys and per-locus CSR slices must be sorted.
+void* dtk_eng_new_flat(const uint64_t* dbi_keys, const uint32_t* dbi_vals,
+                       int64_t n, const uint32_t* vv, int64_t nvv,
+                       int64_t nloci, const uint8_t* qc,
+                       const uint64_t* trk, const int64_t* tro,
+                       const uint64_t* flk, const int64_t* flo) {
+    Eng* e = new Eng();
+    e->flat = true;
+    e->fkeys = dbi_keys;
+    e->fvals = dbi_vals;
+    e->fn = n;
+    e->vv = vv;
+    (void)nvv;
+    e->nloci = nloci;
+    e->ftrk = trk;
+    e->ftro = tro;
+    e->fflk = flk;
+    e->fflo = flo;
     e->bait.resize(nloci);
     if (qc) {
         e->qc.assign(qc, qc + nloci);

@@ -51,7 +51,11 @@ def synth_reads(path, npairs, frac, seqs, L=150, err=0.0,
     bg = None
     if bg_pool is not None:
         bg = np.concatenate(bg_pool)
-    with open(path, "wb") as f:
+    # write to a temp name and rename at the end: a crashed/interrupted
+    # synthesis must not leave a truncated file that later runs treat as
+    # a valid cache
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         done = 0
         while done < npairs:
             n = min(chunk, npairs - done)
@@ -97,6 +101,7 @@ def synth_reads(path, npairs, frac, seqs, L=150, err=0.0,
                 for i in range(n)))
             done += n
             print(f"  {done}/{npairs} pairs", file=sys.stderr)
+    os.replace(tmp, path)
 
 
 def main():
