@@ -70,6 +70,17 @@ class DeviceRPGG:
     # 2-plane rows for the prefilter, which never reads vals — the
     # narrower row gathers measurably faster than the 4-plane dbi rows
 
+    def dev(self, name: str, builder):
+        """Memoized device upload.  Every step builder (primary, retry
+        tiers, prefilter, a second runner over the same index) must
+        share ONE device copy of each table: at production scale the
+        dbi+trfl uploads are ~6.5 GB, and re-uploading per make_step
+        call OOMs a 16 GB chip on the second step build."""
+        cache = self.__dict__.setdefault("_dev_cache", {})
+        if name not in cache:
+            cache[name] = builder()
+        return cache[name]
+
     def add_graph(self, rpgg: RPGG):
         """Builds the dBG transition table for the threading DFA walk
         (GraphType node -> 4-bit out-edge mask, per locus)."""
@@ -380,7 +391,8 @@ def make_prefilter_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
     # membership-only table when available (narrower rows, see DeviceRPGG)
     ptab = drp.member_tab if drp.member_tab is not None else drp.dbi_tab
     # tables ride as jit arguments, not closure constants (see make_step)
-    const_dbi = [jnp.asarray(t) for t, _ in ptab.levels]
+    const_dbi = drp.dev("pre", lambda: [jnp.asarray(t)
+                                        for t, _ in ptab.levels])
     dbi_salts = [s for _, s in ptab.levels]
 
     def step(codes, rlen, live, dbi_tabs=None):
@@ -411,7 +423,8 @@ def make_prefilter_step_q(drp: DeviceRPGG, cfg: AlignConfig, P: int,
     """
     nmf = cfg.nm_filter
     ptab = drp.member_tab if drp.member_tab is not None else drp.dbi_tab
-    const_dbi = [jnp.asarray(t) for t, _ in ptab.levels]
+    const_dbi = drp.dev("pre", lambda: [jnp.asarray(t)
+                                        for t, _ in ptab.levels])
     dbi_salts = [s for _, s in ptab.levels]
 
     def step(qlo, qhi, valid, nonshort, live, dbi_tabs=None):
@@ -493,35 +506,46 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
     # lookups) — the gather unit fetches a 32 B row per descriptor either
     # way, so fewer descriptors win
     nvv = len(drp.vv)
-    vv8 = np.zeros((max(nvv + 7, 8) // 8) * 8, dtype=np.uint32)
-    vv8[:nvv] = drp.vv
+
+    def _vv8():
+        vv8 = np.zeros((max(nvv + 7, 8) // 8) * 8, dtype=np.uint32)
+        vv8[:nvv] = drp.vv
+        return jnp.asarray(vv8.reshape(-1, 8))
+
+    # uploads are memoized on the DeviceRPGG (drp.dev): the primary
+    # step, every retry tier, and any further runner over the same index
+    # share one device copy of each table — at production scale a
+    # re-upload per make_step call is ~6.5 GB and OOMs the chip
     const_tabs = {
-        "dbi": [jnp.asarray(t) for t, _ in drp.dbi_tab.levels],
-        "vv": jnp.asarray(vv8.reshape(-1, 8)),
-        "trfl": [jnp.asarray(t) for t, _ in drp.trfl_tab.levels],
+        "dbi": drp.dev("dbi", lambda: [jnp.asarray(t)
+                                       for t, _ in drp.dbi_tab.levels]),
+        "vv": drp.dev("vv", _vv8),
+        "trfl": drp.dev("trfl", lambda: [
+            jnp.asarray(t) for t, _ in drp.trfl_tab.levels]),
         # per-locus slot bases: annotation values carry the RANK within
         # the locus (u32-safe at any index size); slot = loff[dst] + rank
-        "loff": jnp.asarray(np.asarray(drp.locus_offsets,
-                                       np.int64).astype(np.int32)),
+        "loff": drp.dev("loff", lambda: jnp.asarray(np.asarray(
+            drp.locus_offsets, np.int64).astype(np.int32))),
     }
     salts = {
         "dbi": [s for _, s in drp.dbi_tab.levels],
         "trfl": [s for _, s in drp.trfl_tab.levels],
     }
     if with_bubbles and drp.tre_tab is not None:
-        const_tabs["tre"] = [jnp.asarray(t) for t, _ in drp.tre_tab.levels]
+        const_tabs["tre"] = drp.dev("tre", lambda: [
+            jnp.asarray(t) for t, _ in drp.tre_tab.levels])
         salts["tre"] = [s for _, s in drp.tre_tab.levels]
     if cfg.bait and drp.bait_tab is not None:
-        const_tabs["bait"] = [jnp.asarray(t)
-                              for t, _ in drp.bait_tab.levels]
+        const_tabs["bait"] = drp.dev("bait", lambda: [
+            jnp.asarray(t) for t, _ in drp.bait_tab.levels])
         salts["bait"] = [s for _, s in drp.bait_tab.levels]
     if cfg.qc and drp.qc is not None:
-        const_tabs["qc"] = jnp.asarray(np.concatenate(
-            [drp.qc.astype(np.uint8), [0]]))
+        const_tabs["qc"] = drp.dev("qc", lambda: jnp.asarray(
+            np.concatenate([drp.qc.astype(np.uint8), [0]])))
     if threading:
         assert drp.graph_tab is not None, "call drp.add_graph(rpgg) first"
-        const_tabs["graph"] = [jnp.asarray(t)
-                               for t, _ in drp.graph_tab.levels]
+        const_tabs["graph"] = drp.dev("graph", lambda: [
+            jnp.asarray(t) for t, _ in drp.graph_tab.levels])
         salts["graph"] = [s for _, s in drp.graph_tab.levels]
 
     def step(state, codes, rlen, live, qmask=None, tabs=None):

@@ -141,6 +141,7 @@ def main():
 
     # pass 2: steady state (reuse compiled programs)
     flat.flat_counts()[:] = 0
+    al.state = None          # free pass-1 device accumulators (~0.5 GB)
     al2 = mk()
     al2.step = al.step
     al2.retry_steps = al.retry_steps
@@ -155,6 +156,7 @@ def main():
     ck_over = None
     if os.environ.get("DTK_SF_CKPT"):
         flat.flat_counts()[:] = 0
+        al2.state = None
         al3 = mk()
         al3.step = al.step
         al3.retry_steps = al.retry_steps
