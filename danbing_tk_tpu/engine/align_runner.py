@@ -105,6 +105,8 @@ class DeviceAlignRunner:
         self.retry_P = [self._tier_P(E) for E in ladder]
         self.retry_steps: list = [None] * len(ladder)   # built lazily
         self.n_retried = 0
+        self._ckpt_pool = None
+        self._ckpt_fut = None
 
     def _tier_P(self, E: int) -> int:
         """Batch size for a retry tier: keep P*E (the vote working set)
@@ -525,7 +527,8 @@ class DeviceAlignRunner:
                 extra["n_retried"] = self.n_retried
                 if wq:
                     extra[f"{pre}_quals"] = ret_quals[t]
-            self._save_checkpoint(checkpoint, cursor, extra)
+            self._save_checkpoint(checkpoint, cursor, extra,
+                                  defer=True)
 
         pending: deque = deque()
         pre_window = int(os.environ.get("DTK_PREFILTER_WINDOW", "8"))
@@ -628,8 +631,10 @@ class DeviceAlignRunner:
             drain_steps()
         ref_flush()
         self.host.flush_batch()
-        if checkpoint and since:
-            save_ckpt()
+        if checkpoint:
+            if since:
+                save_ckpt()
+            self._ckpt_join()
 
     def run_file(self, path: str, checkpoint: str | None = None,
                  checkpoint_every: int = 1_000_000):
@@ -668,17 +673,68 @@ class DeviceAlignRunner:
             self._save_checkpoint(checkpoint, cursor)
 
     def _save_checkpoint(self, path: str, cursor: int,
-                         extra: dict | None = None):
+                         extra: dict | None = None, defer: bool = False):
+        """Persist count state + cursor.
+
+        ``defer=True`` (the production funnel path) makes the save
+        asynchronous: the device state is snapshotted ON DEVICE (the
+        dispatch loop keeps donating the live buffers), its host copy
+        starts immediately, and a background thread writes the npz once
+        the transfer lands — at production index scale the counts fetch
+        is hundreds of MB (~30 s on a remote-attached chip), which would
+        otherwise stall the funnel at every checkpoint.  The file
+        becomes durable up to one checkpoint interval late; the cursor
+        inside is always consistent with its own snapshot, so resume
+        semantics are unchanged (a crash loses at most two intervals of
+        work instead of one)."""
+        self._ckpt_join()
+        if not defer:
+            state = {k: np.asarray(v) for k, v in self.state.items()}
+            self._ckpt_write(path, cursor, state,
+                             self._host_snapshot(), extra)
+            return
+        import jax.numpy as jnp
+
+        snap = {k: jnp.array(v, copy=True)
+                for k, v in self.state.items()}
+        for v in snap.values():
+            try:
+                v.copy_to_host_async()
+            except AttributeError:
+                pass
+        hsnap = self._host_snapshot()
+        # extra carries the live repack/retry buffers — copy them at
+        # snapshot time (the loop mutates them in place afterwards)
+        ex = None if extra is None else {
+            k: (np.array(v) if isinstance(v, np.ndarray) else v)
+            for k, v in extra.items()}
+        if self._ckpt_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._ckpt_pool = ThreadPoolExecutor(1)
+        self._ckpt_fut = self._ckpt_pool.submit(
+            self._ckpt_write, path, cursor, snap, hsnap, ex)
+
+    def _host_snapshot(self):
+        return dict(host_counts=self.host.flat_counts().copy(),
+                    host_nmapread=self.host.nmapread.copy(),
+                    host_kmc=self.host.kmc.copy(),
+                    n_referee=self.n_referee)
+
+    def _ckpt_write(self, path, cursor, state, hsnap, extra):
         import numpy as _np
 
-        state = {k: np.asarray(v) for k, v in self.state.items()}
-        _np.savez(path + ".tmp.npz", cursor=cursor,
-                  host_counts=self.host.flat_counts(),
-                  host_nmapread=self.host.nmapread,
-                  host_kmc=self.host.kmc, n_referee=self.n_referee,
+        state = {k: np.asarray(v) for k, v in state.items()}
+        _np.savez(path + ".tmp.npz", cursor=cursor, **hsnap,
                   **{f"dev_{k}": v for k, v in state.items()},
                   **{f"x_{k}": v for k, v in (extra or {}).items()})
         os.replace(path + ".tmp.npz", path)
+
+    def _ckpt_join(self):
+        fut = getattr(self, "_ckpt_fut", None)
+        if fut is not None:
+            self._ckpt_fut = None
+            fut.result()
 
     def _load_checkpoint(self, path: str) -> tuple[int, dict | None]:
         """Returns (pair cursor, extra-state dict or None)."""
@@ -691,12 +747,18 @@ class DeviceAlignRunner:
                       if k.startswith("dev_")}
         # restore host-side (referee) counts into the shared RPGG dicts
         flat = z["host_counts"]
-        p = 0
-        for li in range(self.rpgg.nloci):
-            cnt = self.rpgg.tr_counts[li]
-            for km in self.rpgg.tr_orders[li]:
-                cnt[km] = int(flat[p])
-                p += 1
+        fc = getattr(self.rpgg, "flat_counts", None)
+        if fc is not None:
+            # flat host view: counts restore as one array copy (the
+            # dict walk below is 1e8+ Python ops at production scale)
+            fc()[:] = flat
+        else:
+            p = 0
+            for li in range(self.rpgg.nloci):
+                cnt = self.rpgg.tr_counts[li]
+                for km in self.rpgg.tr_orders[li]:
+                    cnt[km] = int(flat[p])
+                    p += 1
         self.host.nmapread = z["host_nmapread"].copy()
         self.host.kmc = z["host_kmc"].copy()
         self.n_referee = int(z["n_referee"])
