@@ -618,8 +618,13 @@ class DeviceAlignRunner:
                         since = 0
         finally:
             # abandoning mid-file (exception above) must not leak the
-            # reader's FILE* / prefetch producer thread
+            # reader's FILE* / prefetch producer thread, and any deferred
+            # checkpoint write must land before we surface the failure (a
+            # graceful abort keeps the newest durable state; a hard kill
+            # resumes from the previously completed file)
             reader.close()
+            if checkpoint:
+                self._ckpt_join()
         while pending:
             drain_one()
         step_buf()
