@@ -117,13 +117,14 @@ def main():
             step = da.make_step(drp, cfg, P, L, expand_cap=E,
                                 with_annot=False)
             st = da.init_state(drp)
+            key = "x" if stop else "referee"
             st, out = step(st, codes, rlen, live)
-            jax.block_until_ready(out["referee"])
+            jax.block_until_ready(out[key])
             t0 = time.time()
             nrep = 10
             for _ in range(nrep):
                 st, out = step(st, codes, rlen, live)
-            _ = int(np.asarray(out["referee"]).sum())
+            _ = int(np.asarray(out[key]).sum())
             cum = (time.time() - t0) / nrep * 1e3
             meas[label] = cum - prev
             prev = cum
