@@ -84,6 +84,84 @@ def _cmd_align(args):
     print(f"align done -> {pref}", file=sys.stderr)
 
 
+def _cmd_warmup(args):
+    """Precompile the device align programs for a (P, E, mode) shape set
+    into the persistent compile cache, ahead of any production run.
+
+    Production-size align programs compile in minutes (P=4096 took
+    270-280 s over the bench tunnel; the 115M-key scale step ~150 s),
+    and each new (P, E, mode) shape pays that inside the run.  `warmup`
+    runs the same make_step / make_prefilter builders the runner uses
+    and executes each program once on an empty batch, so the compiled
+    binary lands in build/jaxcache (utils/compile_cache.py); production
+    launches and crash-resumes with the same shapes then load it in
+    seconds.  Run once per chip type/backend — e.g. in the deploy-image
+    build — with the flags the production run will use."""
+    import time
+
+    import numpy as np
+
+    from ..engine import device_align as da
+    from ..engine.align_runner import DeviceAlignRunner
+    from ..engine.host_align import AlignConfig, RPGG
+    from ..utils.compile_cache import enable_compile_cache
+
+    cache = enable_compile_cache()
+    cfg = AlignConfig(
+        ksize=args.k, cth=args.cth, n_filter=args.kf[0],
+        nm_filter=args.kf[1], nm_tr=args.c, okam=not args.ka,
+        bait=args.b, qc=bool(args.qc), output_bubbles=args.bu,
+        is_fastq=args.fq, qth=args.qth)
+    rpgg = RPGG(args.qs, bait=args.b, qc_file=args.qc, trim=args.t)
+    t0 = time.time()
+    al = DeviceAlignRunner(rpgg, cfg, batch_pairs=args.P,
+                           max_read_len=args.L,
+                           expand_cap=args.expand_cap,
+                           retry_expand=args.retry_expand)
+    print(f"warmup: index + tables ready in {time.time()-t0:.1f}s "
+          f"(cache={cache})", file=sys.stderr)
+    import jax
+
+    P, L = al.P, al.L
+
+    def empty_batch(Pb):
+        return (np.full((2 * Pb, L), 255, dtype=np.uint8),
+                np.zeros(2 * Pb, dtype=np.int32),
+                np.ones(Pb, dtype=bool))
+
+    def compile_step(name, fn, Pb):
+        codes, rlen, live = empty_batch(Pb)
+        fargs = [al.state, codes, rlen, live]
+        if al.with_qual:
+            fargs.append(da.qmask_batch(
+                np.zeros((2 * Pb, L), np.uint8), rlen, cfg.qth,
+                cfg.ksize))
+        t0 = time.time()
+        # state is donated to the jitted step: rebind the returned one
+        al.state, out = fn(*fargs)
+        jax.block_until_ready((al.state, out))
+        print(f"warmup: {name} compiled+cached in {time.time()-t0:.1f}s",
+              file=sys.stderr)
+
+    compile_step(f"align step P={P} E={al.expand_cap}", al.step, P)
+    for t, E in enumerate(al.retry_E):
+        Pt = al.retry_P[t]
+        if al.retry_steps[t] is None:
+            al.retry_steps[t] = al._build_step(
+                E, with_annot=False, with_qual=al.with_qual, P=Pt)
+        compile_step(f"retry tier step P={Pt} E={E}",
+                     al.retry_steps[t], Pt)
+    if args.prefilter:
+        Pp = P * int(os.environ.get("DTK_PREFILTER_MULT", "4"))
+        pre = al._build_prefilter(Pp)
+        codes, rlen, live = empty_batch(Pp)
+        t0 = time.time()
+        jax.block_until_ready(pre(codes, rlen, live))
+        print(f"warmup: prefilter P={Pp} compiled+cached in "
+              f"{time.time()-t0:.1f}s", file=sys.stderr)
+    print(f"warmup done -> {cache}", file=sys.stderr)
+
+
 def _cmd_build(args):
     from ..pipeline.build import build_rpgg
 
@@ -306,6 +384,35 @@ def main(argv=None):
                         "through a second device step with this many "
                         "slots before the host referee (native path)")
     a.set_defaults(fn=_cmd_align)
+
+    w = sub.add_parser(
+        "warmup", help="precompile device align programs for a "
+        "(P, E, mode) shape set into the persistent compile cache")
+    w.add_argument("-qs", required=True)
+    w.add_argument("-k", type=int, default=21)
+    w.add_argument("-kf", type=int, nargs=2, default=[4, 1])
+    w.add_argument("-cth", type=int, default=10)
+    w.add_argument("-c", type=int, default=40)
+    w.add_argument("-b", action="store_true")
+    w.add_argument("-qc")
+    w.add_argument("-bu", action="store_true")
+    w.add_argument("-ka", action="store_true")
+    w.add_argument("-fq", action="store_true",
+                   help="warm the fastq (quality-masked) step variant")
+    w.add_argument("-qth", type=int, default=20)
+    w.add_argument("-t", type=int, default=0)
+    w.add_argument("-P", type=int, default=4096,
+                   help="full-step batch pairs (align batch_pairs)")
+    w.add_argument("-L", type=int, default=256,
+                   help="max read length (align max_read_len)")
+    w.add_argument("--prefilter", action="store_true",
+                   help="also warm the prefilter dispatch shape "
+                        "(P x DTK_PREFILTER_MULT)")
+    w.add_argument("--expand-cap", type=int, default=512)
+    w.add_argument("--retry-expand",
+                   type=lambda v: [int(x) for x in v.split(",")],
+                   default=0)
+    w.set_defaults(fn=_cmd_warmup)
 
     b = sub.add_parser("build", help="build an RPGG from assemblies+beds")
     b.add_argument("workdir")

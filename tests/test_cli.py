@@ -21,3 +21,23 @@ def test_cli_align(golden_dir, tmp_path):
         os.path.join(golden_dir, "out.on.tr.kmers"), "rb").read()
     assert (tmp_path / "out.kam").read_bytes() == open(
         os.path.join(golden_dir, "out.kam"), "rb").read()
+
+
+def test_cli_warmup(golden_dir, tmp_path):
+    """warmup precompiles the (P, E) align programs into a persistent
+    compile cache and exits cleanly (no reads needed)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["DTK_COMPILE_CACHE"] = str(tmp_path / "jaxcache")
+    r = subprocess.run(
+        [sys.executable, "-m", "danbing_tk_tpu", "warmup",
+         "-qs", os.path.join(golden_dir, "pan"),
+         "-P", "64", "-L", "160", "--prefilter",
+         "--retry-expand", "1024"],
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+        env=env, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "align step P=64 E=512 compiled" in r.stderr
+    assert "retry tier step" in r.stderr
+    assert "prefilter P=256 compiled" in r.stderr
+    assert (tmp_path / "jaxcache").is_dir()
