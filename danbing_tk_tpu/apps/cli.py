@@ -107,11 +107,21 @@ def _cmd_warmup(args):
     from ..utils.compile_cache import enable_compile_cache
 
     cache = enable_compile_cache()
+    if not args.ka:
+        # okam (the default, like align without -ka) drives with_annot
+        # through make_step, which is a DIFFERENT traced program from the
+        # -ka counting step — warming one does not warm the other, and
+        # the primary-step compile is the expensive one (~270-280 s at
+        # P=4096 over the bench tunnel).  Say so loudly instead of
+        # silently caching a program the -ka production run never loads.
+        print("warmup: warming the okam (.kam output, annotated) step "
+              "variant; a -ka counting run compiles a different program "
+              "— pass -ka here to warm that one", file=sys.stderr)
     cfg = AlignConfig(
         ksize=args.k, cth=args.cth, n_filter=args.kf[0],
         nm_filter=args.kf[1], nm_tr=args.c, okam=not args.ka,
         bait=args.b, qc=bool(args.qc), output_bubbles=args.bu,
-        is_fastq=args.fq, qth=args.qth)
+        is_fastq=bool(args.fq), qth=args.qth)
     rpgg = RPGG(args.qs, bait=args.b, qc_file=args.qc, trim=args.t)
     t0 = time.time()
     al = DeviceAlignRunner(rpgg, cfg, batch_pairs=args.P,
@@ -397,8 +407,12 @@ def main(argv=None):
     w.add_argument("-qc")
     w.add_argument("-bu", action="store_true")
     w.add_argument("-ka", action="store_true")
-    w.add_argument("-fq", action="store_true",
-                   help="warm the fastq (quality-masked) step variant")
+    w.add_argument("-fq", nargs="?", const=True, default=False,
+                   metavar="READS",
+                   help="warm the fastq (quality-masked) step variant; "
+                        "an optional READS operand is accepted (and "
+                        "ignored) so production align flags can be "
+                        "copied verbatim")
     w.add_argument("-qth", type=int, default=20)
     w.add_argument("-t", type=int, default=0)
     w.add_argument("-P", type=int, default=4096,

@@ -33,11 +33,13 @@ def test_cli_warmup(golden_dir, tmp_path):
         [sys.executable, "-m", "danbing_tk_tpu", "warmup",
          "-qs", os.path.join(golden_dir, "pan"),
          "-P", "64", "-L", "160", "--prefilter",
-         "--retry-expand", "1024"],
+         # small expansion caps: the default E=512 costs minutes of XLA
+         # compile on a CPU backend and this test only checks plumbing
+         "--expand-cap", "64", "--retry-expand", "128"],
         cwd=os.path.join(os.path.dirname(__file__), ".."),
         env=env, capture_output=True, text=True)
     assert r.returncode == 0, r.stderr[-2000:]
-    assert "align step P=64 E=512 compiled" in r.stderr
+    assert "align step P=64 E=64 compiled" in r.stderr
     assert "retry tier step" in r.stderr
     assert "prefilter P=256 compiled" in r.stderr
     assert (tmp_path / "jaxcache").is_dir()
