@@ -49,7 +49,11 @@ def _cmd_align(args):
         al.extract_rows = RowSink(fh=sys.stdout)
     else:
         if cfg.okam and not cfg.threading:
-            al.kam_rows = RowSink(pref + ".kam")
+            # crash-resume: keep the partial .kam (the checkpoint loader
+            # truncates it back to the saved high-water mark)
+            resuming = bool(args.checkpoint
+                            and os.path.exists(args.checkpoint))
+            al.kam_rows = RowSink(pref + ".kam", append=resuming)
         if cfg.aln:
             al.aln_rows = RowSink(pref + ".aln")
     if args.native_io or args.prefilter:
@@ -157,8 +161,10 @@ def _cmd_warmup(args):
     for t, E in enumerate(al.retry_E):
         Pt = al.retry_P[t]
         if al.retry_steps[t] is None:
+            # mirror run_file_native's flush_retry: okam tiers carry the
+            # annotation plane for .kam rows
             al.retry_steps[t] = al._build_step(
-                E, with_annot=False, with_qual=al.with_qual, P=Pt)
+                E, with_annot=cfg.okam, with_qual=al.with_qual, P=Pt)
         compile_step(f"retry tier step P={Pt} E={E}",
                      al.retry_steps[t], Pt)
     if args.prefilter:

@@ -178,22 +178,25 @@ class DeviceAlignRunner:
         # stream through the repack buffers, src parses from the title
         okam = cfg.okam
         sim = cfg.simmode
-        if bub:
-            # byte-exact .bub needs every pair handled in file order at
-            # the reference's batch cadence; the retry path defers
-            # overflow pairs out of order, and checkpoint state does not
-            # yet carry the bubble maps
-            assert not self.retry_E, \
-                "-bu on the native path requires retry_expand=0"
-            assert checkpoint is None, \
-                "checkpointing covers counting mode only"
-        if okam:
-            # .kam row order must interleave device and referee rows in
-            # pair order, and the retry path defers pairs out of order
-            assert not self.retry_E, \
-                "okam on the native path requires retry_expand=0"
-            assert checkpoint is None, \
-                "checkpointing covers counting mode only"
+        # okam/-bu side outputs are order-sensitive (.kam rows interleave
+        # device and referee rows in pair order; .bub bytes depend on the
+        # batch-local map insert order), while the retry ladder resolves
+        # overflow pairs OUT of order.  Ordered mode restores pair order
+        # at apply time: every pair entering a full step gets an ordinal,
+        # its side effects (kam row / bubble inserts / referee call) are
+        # buffered per ordinal, and a cursor applies them strictly in
+        # ordinal order — deferred pairs leave a hole that their retry
+        # tier (or the referee) fills later.  Memory is bounded by the
+        # retry-buffer capacity times the row size (holes resolve at
+        # tier-flush cadence).  Checkpoints in ordered mode force-flush
+        # the ladder first (partial tier batches are output-invariant:
+        # per-pair results don't depend on batch composition), so no
+        # pending-effect state needs serializing; the kam sink's byte
+        # high-water mark and the bubble maps ride in the checkpoint.
+        ordered = okam or bub
+        ord_next = 0                     # next ordinal to apply
+        ord_pend: dict[int, tuple] = {}  # ordinal -> effect tuple list
+        n_ord = 0                        # ordinals assigned so far
         from ..io.native_reader import NativeBatchReader
 
         wq = self.with_qual
@@ -233,6 +236,8 @@ class DeviceAlignRunner:
             _require("cfg_P", self.P, "batch_pairs")
             _require("cfg_retry_E", sum(self.retry_E), "retry_expand")
             _require("cfg_prefilter", int(bool(prefilter)), "prefilter")
+            _require("cfg_okam", int(okam), "okam (.kam output)")
+            _require("cfg_bub", int(bub), "output_bubbles (-bu)")
             if prefilter:
                 _require("pre_P", Pp,
                          "prefilter dispatch size (DTK_PREFILTER_MULT)")
@@ -274,24 +279,30 @@ class DeviceAlignRunner:
         # step that flagged them)
         ntier = len(self.retry_E)
         ret_codes, ret_rlen, ret_quals, nret = [], [], [], []
+        ret_titles, ret_ords = [], []
         for t in range(ntier):
             # tier-0 keys keep the round-2 single-tier names so old
             # checkpoints resume
             pre = "ret" if t == 0 else f"ret{t}"
             nkey = "nret" if t == 0 else f"nret{t}"
+            Pt = self.retry_P[t]
             if pre_state is not None and f"{pre}_codes" in pre_state:
                 ret_codes.append(pre_state[f"{pre}_codes"])
                 ret_rlen.append(pre_state[f"{pre}_rlen"])
                 ret_quals.append(pre_state.get(f"{pre}_quals"))
                 nret.append(int(pre_state[nkey]))
             else:
-                Pt = self.retry_P[t]
                 ret_codes.append(np.full((2 * Pt, self.L), 255,
                                          dtype=np.uint8))
                 ret_rlen.append(np.zeros(2 * Pt, dtype=np.int32))
                 ret_quals.append(np.zeros((2 * Pt, self.L), dtype=np.uint8)
                                  if wq else None)
                 nret.append(0)
+            # titles/ordinals ride only in ordered mode, whose
+            # checkpoints force-drain the ladder first (never saved)
+            ret_titles.append(np.empty(Pt, dtype=object) if wt else None)
+            ret_ords.append(np.zeros(Pt, dtype=np.int64)
+                            if ordered else None)
         if ntier and pre_state is not None and "n_retried" in pre_state:
             self.n_retried = int(pre_state["n_retried"])
 
@@ -345,7 +356,7 @@ class DeviceAlignRunner:
                     "ann")
 
         def run_step(step_fn, liveP, codes, rlen, hi, quals, next_tier,
-                     lo=0, titles=None):
+                     lo=0, titles=None, ords=None):
             live = np.zeros(liveP, dtype=bool)
             live[lo:hi] = True
             if wq:
@@ -364,11 +375,68 @@ class DeviceAlignRunner:
                 except AttributeError:
                     pass
             fs_pending.append((pack, extras, codes, rlen, hi, quals,
-                               next_tier, lo, titles, kam_out))
+                               next_tier, lo, titles, kam_out, ords))
+
+        def apply_effect(e):
+            tag = e[0]
+            if tag == "kam":
+                self.kam_rows.append(e[1])
+            elif tag == "bub":
+                self._add_bubbles_codes(e[1], e[2], e[3], e[4])
+            else:                               # referee (synchronous)
+                _, title, s1, s2, src, qs = e
+                self.n_referee += 1
+                if okam:
+                    nrow0 = len(self.host.kam_rows)
+                    self.referee.process_pair(title, s1, s2, src, qs)
+                    if len(self.host.kam_rows) > nrow0:
+                        self.kam_rows.append(self.host.kam_rows.pop())
+                else:
+                    self.referee.process_pair(title, s1, s2, src, qs)
+
+        def emit(o, effs):
+            nonlocal ord_next
+            ord_pend[o] = effs
+            while ord_next in ord_pend:
+                for e in ord_pend.pop(ord_next):
+                    apply_effect(e)
+                ord_next += 1
+
+        def defer_pair(t, codes, rlen, quals, titles, i, o):
+            self.n_retried += 1
+            j = nret[t]
+            ret_codes[t][2 * j] = codes[2 * i]
+            ret_codes[t][2 * j + 1] = codes[2 * i + 1]
+            ret_rlen[t][2 * j] = rlen[2 * i]
+            ret_rlen[t][2 * j + 1] = rlen[2 * i + 1]
+            if wq:
+                ret_quals[t][2 * j] = quals[2 * i]
+                ret_quals[t][2 * j + 1] = quals[2 * i + 1]
+            if wt:
+                ret_titles[t][j] = titles[i]
+            if ordered:
+                ret_ords[t][j] = o
+            nret[t] += 1
+            if nret[t] == self.retry_P[t]:
+                flush_retry(t)
+
+        def ref_effect(codes, rlen, quals, i, titles):
+            """Captures the referee call's inputs now (pure decode);
+            the call itself runs at ordinal-apply time so its kam/bubble
+            side effects land in pair order."""
+            s1 = _decode(codes[2 * i], rlen[2 * i])
+            s2 = _decode(codes[2 * i + 1], rlen[2 * i + 1])
+            qs = (None, None)
+            if cfg.is_fastq and quals is not None:
+                qs = (_decode_qual(quals[2 * i], rlen[2 * i]),
+                      _decode_qual(quals[2 * i + 1], rlen[2 * i + 1]))
+            title = ">" + titles[i] if titles is not None else ">r"
+            src = pair_src(title) if sim else -1
+            return ("ref", title, s1, s2, src, qs)
 
         def process_step():
             (pack, extras, codes, rlen, n, quals,
-             next_tier, lo, titles, kam_out) = fs_pending.popleft()
+             next_tier, lo, titles, kam_out, ords) = fs_pending.popleft()
             pk = np.asarray(pack)[:n]
             referee = (pk & 1) != 0
             for bit, key in ((2, "tie"), (4, "ovf"), (8, "t2")):
@@ -386,45 +454,45 @@ class DeviceAlignRunner:
                 pair_bub = np.zeros(n, dtype=bool)
             if okam:
                 ko = {k: np.asarray(v) for k, v in kam_out.items()}
-                todo = np.arange(lo, n)
-            else:
-                todo = np.nonzero(referee | pair_bub)[0]
-            # file order interleaves referee side effects (their bubbles
-            # and .kam rows accumulate inside host.process_pair) with
-            # device-pair output — ascending order matches the slow
-            # path's per-pair loop exactly
+            if ordered:
+                # ordinal-buffered effects: deferred pairs leave a hole
+                # their retry tier fills; everything applies in pair order
+                for i in range(lo, n):
+                    o = int(ords[i])
+                    if ovf[i]:
+                        defer_pair(next_tier, codes, rlen, quals, titles,
+                                   i, o)
+                        continue
+                    effs = []
+                    if referee[i]:
+                        effs.append(ref_effect(codes, rlen, quals, i,
+                                               titles))
+                    else:
+                        if pair_bub[i]:
+                            d = int(dest_arr[i])
+                            for m in (0, 1):
+                                ridx = 2 * i + m
+                                if has[ridx]:
+                                    effs.append((
+                                        "bub", d, codes[ridx].copy(),
+                                        int(rlen[ridx]),
+                                        np.unpackbits(novp[ridx])))
+                        if okam:
+                            row = self._kam_device_row(
+                                ko, codes, rlen, quals, titles, i)
+                            if row is not None:
+                                effs.append(("kam", row))
+                    emit(o, effs)
+                return
+            # counting mode: only flagged pairs need host work; order of
+            # referee side effects is irrelevant (count adds commute)
+            todo = np.nonzero(referee)[0]
             for i in todo:
-                if okam and not (referee[i] or pair_bub[i]):
-                    self._kam_device_pair(ko, codes, rlen, quals, titles,
-                                          int(i))
-                    continue
-                if pair_bub[i]:
-                    d = int(dest_arr[i])
-                    for m in (0, 1):
-                        ridx = 2 * i + m
-                        if has[ridx]:
-                            self._add_bubbles_codes(
-                                d, codes[ridx], int(rlen[ridx]),
-                                np.unpackbits(novp[ridx]))
-                    if okam:
-                        self._kam_device_pair(ko, codes, rlen, quals,
-                                              titles, int(i))
-                elif not ovf[i]:
+                if not ovf[i]:
                     host_pair(codes, rlen, quals, i, titles)
                 else:
-                    t = next_tier
-                    self.n_retried += 1
-                    j = nret[t]
-                    ret_codes[t][2 * j] = codes[2 * i]
-                    ret_codes[t][2 * j + 1] = codes[2 * i + 1]
-                    ret_rlen[t][2 * j] = rlen[2 * i]
-                    ret_rlen[t][2 * j + 1] = rlen[2 * i + 1]
-                    if wq:
-                        ret_quals[t][2 * j] = quals[2 * i]
-                        ret_quals[t][2 * j + 1] = quals[2 * i + 1]
-                    nret[t] += 1
-                    if nret[t] == self.retry_P[t]:
-                        flush_retry(t)
+                    defer_pair(next_tier, codes, rlen, quals, titles,
+                               int(i), 0)
 
         def drain_steps(to: int = 0):
             while len(fs_pending) > to:
@@ -435,29 +503,60 @@ class DeviceAlignRunner:
                 return
             Pt = self.retry_P[t]
             if self.retry_steps[t] is None:
+                # okam tiers need the annotation plane for .kam rows
                 self.retry_steps[t] = self._build_step(
-                    self.retry_E[t], with_annot=False, with_qual=wq,
+                    self.retry_E[t], with_annot=okam, with_qual=wq,
                     P=Pt)
             nr_, nret[t] = nret[t], 0
             rc, rr, rq = ret_codes[t], ret_rlen[t], ret_quals[t]
+            rt, ro = ret_titles[t], ret_ords[t]
             ret_codes[t] = np.full((2 * Pt, self.L), 255, dtype=np.uint8)
             ret_rlen[t] = np.zeros(2 * Pt, dtype=np.int32)
             if wq:
                 ret_quals[t] = np.zeros((2 * Pt, self.L), dtype=np.uint8)
+            if wt:
+                ret_titles[t] = np.empty(Pt, dtype=object)
+            if ordered:
+                ret_ords[t] = np.zeros(Pt, dtype=np.int64)
             run_step(self.retry_steps[t], Pt, rc, rr, nr_, rq,
-                     next_tier=t + 1 if t + 1 < ntier else None)
+                     next_tier=t + 1 if t + 1 < ntier else None,
+                     titles=rt, ords=ro)
 
         def full_step(codes, rlen, n, quals=None, lo=0, titles=None):
+            nonlocal n_ord
+            ords = None
+            if ordered:
+                # fresh consecutive ordinals for pairs entering the
+                # primary step (slot-indexed; slots < lo belong to an
+                # earlier dispatch of the same buffer)
+                ords = np.zeros(n, dtype=np.int64)
+                ords[lo:] = np.arange(n_ord, n_ord + (n - lo))
+                n_ord += n - lo
             run_step(self.step, self.P, codes, rlen, n, quals,
-                     next_tier=0 if ntier else None, lo=lo, titles=titles)
+                     next_tier=0 if ntier else None, lo=lo, titles=titles,
+                     ords=ords)
             drain_steps(fs_window)
+
+        def drain_ladder():
+            """Resolve every in-flight and deferred pair: tier flushes
+            cascade (a tier's overflow lands in the next tier's buffer)
+            and the final tier's overflow referees on the host."""
+            drain_steps()
+            for t in range(ntier):
+                flush_retry(t)
+                drain_steps()
+            if ordered:
+                assert not ord_pend, "unresolved ordinals after drain"
 
         # -bu flush cadence: the reference merges batch-local bubble maps
         # into the global DB every reads_per_batch reads (accumBubbles
         # under semwriter); the .bub byte layout depends on that merge
         # order, so the native path barriers at the same pair boundaries
         Bflush = max(cfg.reads_per_batch // 2, 1)
-        next_flush = Bflush
+        # resume: every flush boundary <= the saved cursor had already
+        # fired in the writing run (the restored _bub_batch is the
+        # mid-segment state) — realign so no boundary replays
+        next_flush = (done // Bflush + 1) * Bflush
 
         def step_buf():
             nonlocal nbuf, buf_codes, buf_rlen, buf_quals, buf_titles
@@ -496,22 +595,50 @@ class DeviceAlignRunner:
 
         def batch_flush_barrier():
             # everything dispatched so far must land (referee + bubble
-            # side effects) before the batch-local maps merge
+            # side effects) before the batch-local maps merge; with a
+            # retry ladder, deferred pre-boundary pairs force-flush
+            # through their tiers here (partial tier batches are
+            # output-invariant — per-pair results don't depend on batch
+            # composition)
             nonlocal next_flush
             step_buf()
-            drain_steps()
+            drain_ladder()
             self.host.flush_batch()
             next_flush += Bflush
 
         def save_ckpt():
             # referee/retry side effects must be complete up to the saved
             # cursor; in-flight full steps are part of checkpoint state
-            drain_steps()
+            if ordered:
+                # ordered mode refuses to serialize pending effects —
+                # force the ladder dry instead, then snapshot the kam
+                # sink high-water mark + bubble maps
+                drain_ladder()
+            else:
+                drain_steps()
             ref_flush()
             # config fingerprint — resume refuses on mismatch (pending
             # buffers + cursor granularity assume this configuration)
             extra = dict(cfg_P=self.P, cfg_retry_E=sum(self.retry_E),
-                         cfg_prefilter=int(bool(prefilter)))
+                         cfg_prefilter=int(bool(prefilter)),
+                         cfg_okam=int(okam), cfg_bub=int(bub))
+            if ordered:
+                import pickle
+
+                from ..io.rowsink import RowSink
+
+                if okam:
+                    kr = self.kam_rows
+                    if isinstance(kr, RowSink) and kr.path is not None:
+                        extra["kam_offset"] = kr.byte_offset()
+                        extra["kam_nrows"] = kr.n_written
+                    else:
+                        extra["kam_rows_pkl"] = np.frombuffer(
+                            pickle.dumps(list(kr)), np.uint8)
+                if bub:
+                    extra["bub_pkl"] = np.frombuffer(pickle.dumps(
+                        (self.host.bub_orders, self.host.bub_counts,
+                         self.host._bub_batch)), np.uint8)
             if prefilter:
                 extra.update(buf_codes=buf_codes, buf_rlen=buf_rlen,
                              nbuf=nbuf, n_prefiltered=self.n_prefiltered,
@@ -628,12 +755,7 @@ class DeviceAlignRunner:
         while pending:
             drain_one()
         step_buf()
-        drain_steps()
-        # flush the ladder in order: a tier's flush can overflow pairs
-        # into the next tier's buffer
-        for t in range(ntier):
-            flush_retry(t)
-            drain_steps()
+        drain_ladder()
         ref_flush()
         self.host.flush_batch()
         if checkpoint:
@@ -768,6 +890,43 @@ class DeviceAlignRunner:
         self.host.kmc = z["host_kmc"].copy()
         self.n_referee = int(z["n_referee"])
         extra = {k[2:]: z[k] for k in z.files if k.startswith("x_")}
+        # okam/-bu mode mismatch must be diagnosed BEFORE any side-state
+        # restore (a counting-mode resume would otherwise trip on the
+        # kam sink binding instead of the real configuration error)
+        for key, cur, what in (("cfg_okam", int(self.cfg.okam),
+                                "okam (.kam output)"),
+                               ("cfg_bub", int(self.cfg.output_bubbles),
+                                "output_bubbles (-bu)")):
+            if key in extra and int(extra[key]) != cur:
+                raise ValueError(
+                    f"checkpoint resume config mismatch: {what} was "
+                    f"{int(extra[key])} in the checkpointing run, now "
+                    f"{cur}")
+        # ordered-mode (okam/-bu) side state: truncate the kam sink back
+        # to the checkpoint's byte high-water mark (rows streamed after
+        # the save are replayed on resume) and restore the bubble maps
+        if "kam_offset" in extra:
+            from ..io.rowsink import RowSink
+
+            kr = self.kam_rows
+            if isinstance(kr, RowSink) and kr.path is not None:
+                kr.truncate_to(int(extra["kam_offset"]),
+                               int(extra["kam_nrows"]))
+            else:
+                raise ValueError(
+                    "checkpoint recorded a streamed .kam high-water "
+                    "mark; bind kam_rows to a RowSink(path, append="
+                    "True) before resuming")
+        if "kam_rows_pkl" in extra:
+            import pickle
+
+            self.kam_rows = pickle.loads(extra["kam_rows_pkl"].tobytes())
+        if "bub_pkl" in extra:
+            import pickle
+
+            (self.host.bub_orders, self.host.bub_counts,
+             self.host._bub_batch) = pickle.loads(
+                extra["bub_pkl"].tobytes())
         return int(z["cursor"]), (extra or None)
 
     def _run_chunk(self, pairs):
@@ -934,18 +1093,19 @@ class DeviceAlignRunner:
 
         finalize_rows(self.aln_rows, path)
 
-    def _kam_device_pair(self, ko, codes, rlen, quals, titles, i):
+    def _kam_device_row(self, ko, codes, rlen, quals, titles, i):
         """Native-path twin of _post_chunk's device-pair .kam emission:
         the same filter/field logic over the async-fetched out planes,
-        seqs decoded from the packed codes only for emitted rows."""
+        seqs decoded from the packed codes only for emitted rows.
+        Returns the row string, or None when the pair emits nothing."""
         cfg = self.cfg
         nloci = self.rpgg.nloci
         if not ko["nonshort"][i] or ko["sub_drop"][i]:
-            return
+            return None
         if not ko["pair_alive"][i]:
-            return
+            return None
         if ko["qc_drop"][i]:
-            return
+            return None
         title = ">" + titles[i]          # native titles are '>'-stripped
         src = -1
         if cfg.simmode == 2:
@@ -960,7 +1120,7 @@ class DeviceAlignRunner:
         if not ko["vote_pass"][i]:
             dest = nloci
         if not ((src != nloci and src != -1) or dest != nloci):
-            return
+            return None
         dst0 = int(ko["dst0"][i])
         s1 = _decode(codes[2 * i], rlen[2 * i])
         s2 = _decode(codes[2 * i + 1], rlen[2 * i + 1])
@@ -968,9 +1128,8 @@ class DeviceAlignRunner:
         if cfg.is_fastq and quals is not None:
             qs = (_decode_qual(quals[2 * i], rlen[2 * i]),
                   _decode_qual(quals[2 * i + 1], rlen[2 * i + 1]))
-        self.kam_rows.append(
-            self._kam_from_device(title, src, dest, dst0, ko, i, s1, s2,
-                                  qs))
+        return self._kam_from_device(title, src, dest, dst0, ko, i, s1,
+                                     s2, qs)
 
     def _add_bubbles_codes(self, dest, codes_row, rl, novel_bits):
         """Native-path twin of _add_bubbles: reads arrive as 2-bit codes,

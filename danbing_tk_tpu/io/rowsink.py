@@ -21,13 +21,22 @@ from __future__ import annotations
 
 class RowSink:
     def __init__(self, path: str | None = None, fh=None,
-                 flush_every: int = 8192):
+                 flush_every: int = 8192, append: bool = False):
+        """``append=True`` keeps an existing file's bytes (crash-resume:
+        the checkpoint loader then truncates back to its saved
+        high-water mark via truncate_to); the default truncates."""
         self._buf: list[str] = []
         self._own = False
         self.path = path
         if path is not None:
             assert fh is None
-            self._fh = open(path, "w")
+            import os as _os
+
+            if append and _os.path.exists(path):
+                self._fh = open(path, "r+")
+                self._fh.seek(0, 2)
+            else:
+                self._fh = open(path, "w")
             self._own = True
         else:
             self._fh = fh
@@ -61,6 +70,24 @@ class RowSink:
             self._fh.writelines(self._buf)
             self.n_written += len(self._buf)
             self._buf.clear()
+
+    def byte_offset(self) -> int:
+        """Durable byte high-water mark (flushes first); checkpoints
+        record this so resume can truncate rows written past the saved
+        cursor."""
+        self.flush()
+        self._fh.flush()
+        return self._fh.tell()
+
+    def truncate_to(self, nbytes: int, nrows: int):
+        """Crash-resume: drop rows past the checkpoint's high-water mark
+        (the sink must have been opened with append=True)."""
+        assert self._own and self._fh is not None
+        self._buf.clear()
+        self._fh.flush()
+        self._fh.seek(nbytes)
+        self._fh.truncate(nbytes)
+        self.n_written = nrows
 
     def close(self):
         self.flush()

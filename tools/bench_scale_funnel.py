@@ -139,19 +139,30 @@ def main():
     _ = sink(al)
     rps1 = report("cold (incl compile)", al, time.time() - t0)
 
-    # pass 2: steady state (reuse compiled programs)
-    flat.flat_counts()[:] = 0
-    al.state = None          # free pass-1 device accumulators (~0.5 GB)
-    al2 = mk()
-    al2.step = al.step
-    al2.retry_steps = al.retry_steps
-    al2.prefilter_step = getattr(al, "prefilter_step", None)
-    al2.prefilter_P = getattr(al, "prefilter_P", None)
-    t0 = time.time()
-    al2.run_file_native(reads, prefilter=True)
-    _ = sink(al2)
-    wall2 = time.time() - t0
+    # steady passes (reuse compiled programs): median of DTK_SF_STEADY
+    # with the spread printed (round-3 lesson: single passes hide
+    # host-contention corruption)
+    nsteady = int(os.environ.get("DTK_SF_STEADY", 1))
+    walls = []
+    al2 = al
+    for _ in range(max(nsteady, 1)):
+        flat.flat_counts()[:] = 0
+        prev, al2 = al2, mk()
+        al2.step = al.step
+        al2.retry_steps = al.retry_steps
+        al2.prefilter_step = getattr(al, "prefilter_step", None)
+        al2.prefilter_P = getattr(al, "prefilter_P", None)
+        prev.state = None    # free previous device accumulators
+        t0 = time.time()
+        al2.run_file_native(reads, prefilter=True)
+        _ = sink(al2)
+        walls.append(time.time() - t0)
+    wall2 = sorted(walls)[len(walls) // 2]
+    spread = (max(walls) - min(walls)) / wall2
     rps2 = report("steady", al2, wall2)
+    print(f"# steady walls: {[round(w, 1) for w in walls]} "
+          f"(median {wall2:.1f}s, spread {100*spread:.1f}%)",
+          file=sys.stderr)
 
     ck_over = None
     if os.environ.get("DTK_SF_CKPT"):
