@@ -294,6 +294,18 @@ def _cmd_call(args):
           file=sys.stderr)
 
 
+def _cmd_length(args):
+    from ..analysis.length_pipeline import run_length
+
+    bad = tuple(int(x) for x in args.bad_donors.split(",") if x)
+    run_length(args.outdir, args.ksize, args.kmers, args.trbed,
+               args.LSB, args.cov, ksi_path=args.ksi, qs=args.qs,
+               seqruns=args.seqruns, db_seqruns=args.db_seqruns,
+               bad_donors=bad)
+    print(f"length done -> {args.outdir}/estimated_TR_len.tsv",
+          file=sys.stderr)
+
+
 def _cmd_eqtl(args):
     from ..analysis.eqtl_pipeline import run_eqtl
 
@@ -571,6 +583,35 @@ def main(argv=None):
     eq.add_argument("--NL1", required=True, type=int)
     eq.add_argument("--NL2", required=True, type=int)
     eq.set_defaults(fn=_cmd_eqtl)
+
+    ln = sub.add_parser(
+        "length", help="VNTR length prediction from kmer dosage via "
+        "precomputed locus-specific biases (the intended flow of the "
+        "reference's bit-rotted script/kmc2length.py main; writes "
+        "{outdir}/estimated_TR_len.tsv)")
+    ln.add_argument("--outdir", required=True)
+    ln.add_argument("--ksize", required=True, type=int)
+    ln.add_argument("--kmers", required=True,
+                    help="file listing per-sample count-only kmer files")
+    ln.add_argument("--trbed", required=True)
+    ln.add_argument("--LSB", required=True)
+    ln.add_argument("--cov", required=True)
+    ln.add_argument("--covbed", default=None,
+                    help="accepted for reference-CLI parity (the "
+                    "reference main never reads it; ctrl sizes come "
+                    "from the LSB row names)")
+    ln.add_argument("--ksi", default=None,
+                    help="per-locus cumulative kmer index (ktools ksi)")
+    ln.add_argument("--qs", default=None,
+                    help="RPGG prefix to derive the ksi from "
+                    "pan.tr.kmers (alternative to --ksi)")
+    ln.add_argument("--seqruns", default=None,
+                    help="sample->sequencing-run table: switches the "
+                    "LSB-donor pick to the LOO seqrun prior")
+    ln.add_argument("--db-seqruns", default=None)
+    ln.add_argument("--bad-donors", default="",
+                    help="comma-separated donor indices to exclude")
+    ln.set_defaults(fn=_cmd_length)
 
     ca = sub.add_parser("call", help="rare-variant (novel bubble) calling")
     ca.add_argument("pref", help="RPGG prefix (needs .bi_tr/.bi_fl.kdb)")
