@@ -89,7 +89,7 @@ def measure_funnel(make_runner, reads, npairs, passes=5, max_rounds=3,
             t0 = time.time()
             al2.run_file_native(reads, prefilter=True)
             times.append(time.time() - t0)
-        if spread_of(times) <= tol:
+        if spread_of(times) <= tol or rnd + 1 >= max_rounds:
             break
         print(f"# {tag}: spread {100*spread_of(times):.1f}% > "
               f"{100*tol:.0f}% on {[round(t,1) for t in times]} — "

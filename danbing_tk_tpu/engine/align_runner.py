@@ -152,7 +152,7 @@ class DeviceAlignRunner:
     # -- batching --
 
     def run_file_native(self, path: str, checkpoint: str | None = None,
-                        checkpoint_every: int = 1_000_000,
+                        checkpoint_every: int | None = None,
                         prefilter: bool = False):
         """Production ingest: the C reader packs batches directly; read
         strings are only materialized (decoded from the 2-bit codes) for
@@ -169,7 +169,17 @@ class DeviceAlignRunner:
         bit-packed plane with the referee mask; the host resolves edge
         values for flagged reads only (rare) and merges batch-local maps
         at the reference's reads_per_batch flush cadence, so the .bub
-        output is byte-identical to the slow path / reference."""
+        output is byte-identical to the slow path / reference.
+
+        ``checkpoint_every=None`` (the default) auto-sizes the save
+        cadence from the MEASURED save cost so overhead stays <5%: the
+        first save calibrates after 60 s, then the interval is 20x the
+        last save's wall (snapshot fetch + npz write — ~15-20 s at
+        production index scale over a tunnel-attached chip, milliseconds
+        on local DMA).  A fixed pair-count cadence is still accepted;
+        the old 1M-pair default cost +113% at scale (PERF.md)."""
+        import time as _time
+
         cfg = self.cfg
         bub = cfg.output_bubbles
         # okam/simmode ride the fast path too: the reference emits .kam
@@ -263,6 +273,23 @@ class DeviceAlignRunner:
                 buf_quals = pre_state["buf_quals"]
         cursor = 0
         since = 0
+        # auto cadence (checkpoint_every=None): first save calibrates at
+        # 60 s, then interval = 20x the measured save wall (<5% overhead)
+        auto_ck = checkpoint is not None and checkpoint_every is None
+        ck_interval = 60.0
+        last_save = _time.time()
+
+        def ckpt_due():
+            nonlocal ck_interval
+            if not checkpoint:
+                return False
+            if not auto_ck:
+                return since >= checkpoint_every
+            wall = getattr(self, "_last_ckpt_wall", None)
+            if wall is not None:
+                ck_interval = max(20.0 * wall, 60.0)
+            return _time.time() - last_save >= ck_interval
+
         reader = NativeBatchReader(
             path, Pp, self.L, is_fastq=cfg.is_fastq,
             min_read_size=cfg.cth + cfg.ksize - 1, with_titles=wt,
@@ -683,9 +710,10 @@ class DeviceAlignRunner:
                     batch_flush_barrier()
             cursor += n
             since += n
-            if checkpoint and since >= checkpoint_every:
+            if ckpt_due():
                 save_ckpt()
                 since = 0
+                last_save = _time.time()
 
         try:
             for rec in reader:
@@ -740,9 +768,22 @@ class DeviceAlignRunner:
                                       titles=titles)
                     cursor += n
                     since += n
-                    if checkpoint and since >= checkpoint_every:
+                    if ckpt_due():
                         save_ckpt()
                         since = 0
+                        last_save = _time.time()
+            # the pending-window drain runs INSIDE the try: a crash here
+            # (it dispatches full steps and can save checkpoints) must
+            # still close the reader and join any deferred write —
+            # escaping without the join races the background npz against
+            # whatever the caller does next (observed as a flaky
+            # missing-checkpoint after an abort)
+            while pending:
+                drain_one()
+            step_buf()
+            drain_ladder()
+            ref_flush()
+            self.host.flush_batch()
         finally:
             # abandoning mid-file (exception above) must not leak the
             # reader's FILE* / prefetch producer thread, and any deferred
@@ -752,12 +793,6 @@ class DeviceAlignRunner:
             reader.close()
             if checkpoint:
                 self._ckpt_join()
-        while pending:
-            drain_one()
-        step_buf()
-        drain_ladder()
-        ref_flush()
-        self.host.flush_batch()
         if checkpoint:
             if since:
                 save_ckpt()
@@ -849,13 +884,19 @@ class DeviceAlignRunner:
                     n_referee=self.n_referee)
 
     def _ckpt_write(self, path, cursor, state, hsnap, extra):
+        import time as _time
+
         import numpy as _np
 
+        t0 = _time.time()
         state = {k: np.asarray(v) for k, v in state.items()}
         _np.savez(path + ".tmp.npz", cursor=cursor, **hsnap,
                   **{f"dev_{k}": v for k, v in state.items()},
                   **{f"x_{k}": v for k, v in (extra or {}).items()})
         os.replace(path + ".tmp.npz", path)
+        # measured save wall (device->host fetch + npz write) feeds the
+        # auto cadence: interval = 20x wall keeps overhead <5%
+        self._last_ckpt_wall = _time.time() - t0
 
     def _ckpt_join(self):
         fut = getattr(self, "_ckpt_fut", None)

@@ -850,16 +850,23 @@ class HostAligner:
         else:
             self.extract_rows.append(f"{t}\n{seq2}\n{t}\n{seq1}\n")
 
-    def _thread_pair(self, title, seq1, seq2, src, dest):
+    def _thread_pair(self, title, seq1, seq2, src, dest, results=None):
         """Threading-mode branch (re-enabled v1.3.1 behavior; counting =
-        aln mode over the corrected kmer streams of aligned mates)."""
+        aln mode over the corrected kmer streams of aligned mates).
+
+        ``results``: optional precomputed engine outputs
+        ((st, es, tr, kmers) per mate) — the native funnel fans the
+        thread-safe engine calls over a pool and applies them here in
+        pair order."""
         from . import threading as thr
 
         cfg, g = self.cfg, self.g
         k = cfg.ksize
-        gf = g.graphs[dest]
         trc = g.tr_counts[dest]
-        if self._nthr is not None:
+        if results is not None:
+            (alned0, es1, tr1, ak0), (alned1, es2, tr2, ak1) = results
+        elif self._nthr is not None:
+            gf = g.graphs[dest]
             self._nthr.prepare(dest, gf, trc)
             alned0, es1, tr1, ak0 = self._nthr.thread_read(
                 dest, seq1, cfg.thread_cth, cfg.correction, k,
@@ -868,6 +875,7 @@ class HostAligner:
                 dest, seq2, cfg.thread_cth, cfg.correction, k,
                 cfg.maxncorrection)
         else:
+            gf = g.graphs[dest]
             cg1 = thr.Cigar(seq1, k)
             alned0, _, ak0 = thr.is_thread_feasible(
                 gf, seq1, cfg.thread_cth, cfg.correction, cg1, trc, k,

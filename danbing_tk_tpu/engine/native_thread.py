@@ -76,17 +76,17 @@ class _CGraph:
 
 
 class NativeThreader:
-    """Per-RPGG cache of native graph handles + the thread_read call."""
+    """Per-RPGG cache of native graph handles + the thread_read call.
+
+    ``thread_read`` is THREAD-SAFE (per-call scratch buffers; the C++
+    walk only reads the shared graph handles), so a pool can fan calls
+    across cores — ctypes releases the GIL for the engine's duration.
+    ``prepare`` mutates the handle cache and must stay on one thread."""
 
     def __init__(self):
         self.lib = _load()
         self._graphs: dict[int, _CGraph] = {}
         self._trks: dict[int, _CGraph] = {}
-        # scratch buffers (grown on demand)
-        self._cap = 4096
-        self._es = C.create_string_buffer(self._cap)
-        self._tr = C.create_string_buffer(self._cap)
-        self._km = np.empty(self._cap, dtype=np.uint64)
 
     def prepare(self, locus: int, graph: dict, tr_counts: dict):
         if locus not in self._graphs:
@@ -94,26 +94,27 @@ class NativeThreader:
             self._trks[locus] = _CGraph(
                 self.lib, {k: 0 for k in tr_counts})
 
+    def prepared(self, locus: int) -> bool:
+        return locus in self._graphs
+
     def thread_read(self, locus: int, seq: str, thread_cth: int,
                     correction: bool, ksize: int, maxncorrection: int):
         """-> (status, es, tr, kmers); es rows are [type, '', graph_nuc]
         (read nucleotides are never consulted by write_cigar)."""
-        need = 4 * max(len(seq), 64)
-        if need > self._cap:
-            self._cap = need
-            self._es = C.create_string_buffer(self._cap)
-            self._tr = C.create_string_buffer(self._cap)
-            self._km = np.empty(self._cap, dtype=np.uint64)
-        es_len = C.c_int64(self._cap)
-        tr_len = C.c_int64(self._cap)
-        nk = C.c_int64(self._cap)
+        cap = 4 * max(len(seq), 64)
+        es_buf = C.create_string_buffer(cap)
+        tr_buf = C.create_string_buffer(cap)
+        km_buf = np.empty(cap, dtype=np.uint64)
+        es_len = C.c_int64(cap)
+        tr_len = C.c_int64(cap)
+        nk = C.c_int64(cap)
         st = self.lib.dtk_thread_read(
             self._graphs[locus].h, self._trks[locus].h,
             seq.encode(), len(seq), thread_cth, int(correction), ksize,
-            maxncorrection, self._es, C.byref(es_len), self._tr,
-            C.byref(tr_len), self._km.ctypes.data_as(
+            maxncorrection, es_buf, C.byref(es_len), tr_buf,
+            C.byref(tr_len), km_buf.ctypes.data_as(
                 C.POINTER(C.c_uint64)), C.byref(nk))
-        raw = self._es.raw[:es_len.value]
+        raw = es_buf.raw[:es_len.value]
         es = []
         i = 0
         while i < len(raw):
@@ -125,6 +126,6 @@ class NativeThreader:
                 es.append([t, "", gch])
             else:
                 es.append([t, "", ""])
-        tr = [chr(b) for b in self._tr.raw[:tr_len.value]]
-        kmers = [int(x) for x in self._km[:nk.value]]
+        tr = [chr(b) for b in tr_buf.raw[:tr_len.value]]
+        kmers = [int(x) for x in km_buf[:nk.value]]
         return st, es, tr, kmers
