@@ -182,12 +182,24 @@ class DeviceAlignRunner:
 
         cfg = self.cfg
         bub = cfg.output_bubbles
+        assert not cfg.extract, "-e extract mode uses run_file"
         # okam/simmode ride the fast path too: the reference emits .kam
         # in its one monolithic pass (writeKmerAssignments, :2169-2175);
         # rows are assembled from the device outputs per pair, titles
         # stream through the repack buffers, src parses from the title
-        okam = cfg.okam
+        thr_mode = cfg.threading
+        okam = cfg.okam and not thr_mode   # threading never writes .kam
         sim = cfg.simmode
+        # threading mode on the funnel: the device DFA resolves clean
+        # walks; pairs needing error correction fan their (thread-safe,
+        # GIL-released) native engine calls over a worker pool at
+        # step-fetch time and apply results in pair order — the walks
+        # run on all host cores inside the device-queue shadow
+        thr_pool = None
+        if thr_mode and getattr(self.host, "_nthr", None) is not None:
+            from .native_thread import ParallelThreader
+
+            thr_pool = ParallelThreader(self.host._nthr, cfg)
         # okam/-bu side outputs are order-sensitive (.kam rows interleave
         # device and referee rows in pair order; .bub bytes depend on the
         # batch-local map insert order), while the retry ladder resolves
@@ -203,14 +215,15 @@ class DeviceAlignRunner:
         # per-pair results don't depend on batch composition), so no
         # pending-effect state needs serializing; the kam sink's byte
         # high-water mark and the bubble maps ride in the checkpoint.
-        ordered = okam or bub
+        ordered = okam or bub or thr_mode
         ord_next = 0                     # next ordinal to apply
         ord_pend: dict[int, tuple] = {}  # ordinal -> effect tuple list
         n_ord = 0                        # ordinals assigned so far
         from ..io.native_reader import NativeBatchReader
 
         wq = self.with_qual
-        wt = okam                         # titles ride along for .kam rows
+        # titles ride along for .kam rows / .aln rows / simmode src
+        wt = okam or (thr_mode and (cfg.aln or bool(sim)))
         # prefilter dispatches carry DTK_PREFILTER_MULT x the full-step
         # batch: the prefilter's per-read device cost is tiny, so bigger
         # dispatches amortize the per-call round trip (the dominant cost
@@ -381,6 +394,9 @@ class DeviceAlignRunner:
                     "vote_pass", "counted", "dest", "dst0", "kf", "hf",
                     "bf", "rm", "af", "nt", "bs", "ti", "si", "ei", "nk",
                     "ann")
+        THR_KEYS = ("nonshort", "sub_drop", "pair_alive", "qc_drop",
+                    "vote_pass", "dst0", "clean_pair", "tr_member", "nk")
+        AUX_KEYS = KAM_KEYS if okam else (THR_KEYS if thr_mode else None)
 
         def run_step(step_fn, liveP, codes, rlen, hi, quals, next_tier,
                      lo=0, titles=None, ords=None):
@@ -394,7 +410,7 @@ class DeviceAlignRunner:
                 self.state, out = step_fn(self.state, codes, rlen, live)
             pack = out["referee_pack"]
             extras = (out["novel_pack"], out["dest"]) if bub else ()
-            kam_out = {k: out[k] for k in KAM_KEYS} if okam else None
+            kam_out = {k: out[k] for k in AUX_KEYS} if AUX_KEYS else None
             for a in (pack,) + extras + (tuple(kam_out.values())
                                          if kam_out else ()):
                 try:
@@ -408,8 +424,26 @@ class DeviceAlignRunner:
             tag = e[0]
             if tag == "kam":
                 self.kam_rows.append(e[1])
+            elif tag == "aln":
+                self.aln_rows.append(e[1])
             elif tag == "bub":
                 self._add_bubbles_codes(e[1], e[2], e[3], e[4])
+            elif tag == "thr":
+                # host threading fallback: engine calls were fanned over
+                # the pool at step-fetch time; the pair-order apply here
+                # only consumes futures + does counts / the .aln row
+                _, title, s1, s2, src, dst0_i, futs = e
+                self.n_host_thread += 1
+                self.host.stats["nThreadingReads"] += 2
+                rows = self.host.aln_rows
+                n0 = len(rows)
+                results = None
+                if futs is not None:
+                    results = (futs[0].result(), futs[1].result())
+                self.host._thread_pair(title, s1, s2, src, dst0_i,
+                                       results=results)
+                if len(rows) > n0:
+                    self.aln_rows.append(rows.pop())
             else:                               # referee (synchronous)
                 _, title, s1, s2, src, qs = e
                 self.n_referee += 1
@@ -418,6 +452,11 @@ class DeviceAlignRunner:
                     self.referee.process_pair(title, s1, s2, src, qs)
                     if len(self.host.kam_rows) > nrow0:
                         self.kam_rows.append(self.host.kam_rows.pop())
+                elif thr_mode and cfg.aln:
+                    n0 = len(self.host.aln_rows)
+                    self.referee.process_pair(title, s1, s2, src, qs)
+                    if len(self.host.aln_rows) > n0:
+                        self.aln_rows.append(self.host.aln_rows.pop())
                 else:
                     self.referee.process_pair(title, s1, s2, src, qs)
 
@@ -479,7 +518,7 @@ class DeviceAlignRunner:
                 dest_arr = np.asarray(extras[1])[:n]
             else:
                 pair_bub = np.zeros(n, dtype=bool)
-            if okam:
+            if kam_out is not None:
                 ko = {k: np.asarray(v) for k, v in kam_out.items()}
             if ordered:
                 # ordinal-buffered effects: deferred pairs leave a hole
@@ -494,6 +533,37 @@ class DeviceAlignRunner:
                     if referee[i]:
                         effs.append(ref_effect(codes, rlen, quals, i,
                                                titles))
+                    elif thr_mode:
+                        alive = (ko["nonshort"][i]
+                                 and not ko["sub_drop"][i]
+                                 and ko["pair_alive"][i]
+                                 and not ko["qc_drop"][i]
+                                 and ko["vote_pass"][i])
+                        if alive:
+                            dst0_i = int(ko["dst0"][i])
+                            if not ko["clean_pair"][i]:
+                                s1 = _decode(codes[2 * i], rlen[2 * i])
+                                s2 = _decode(codes[2 * i + 1],
+                                             rlen[2 * i + 1])
+                                title = (">" + titles[i]
+                                         if titles is not None else ">r")
+                                srcv = pair_src(title) if sim else -1
+                                futs = None
+                                if thr_pool is not None:
+                                    self.host._nthr.prepare(
+                                        dst0_i,
+                                        self.host.g.graphs[dst0_i],
+                                        self.host.g.tr_counts[dst0_i])
+                                    futs = (thr_pool.submit_read(dst0_i,
+                                                                 s1),
+                                            thr_pool.submit_read(dst0_i,
+                                                                 s2))
+                                effs.append(("thr", title, s1, s2, srcv,
+                                             dst0_i, futs))
+                            elif cfg.aln:
+                                effs.append(("aln", self._thread_aln_row(
+                                    ko, i, codes, rlen, titles,
+                                    pair_src if sim else None)))
                     else:
                         if pair_bub[i]:
                             d = int(dest_arr[i])
@@ -791,6 +861,8 @@ class DeviceAlignRunner:
             # graceful abort keeps the newest durable state; a hard kill
             # resumes from the previously completed file)
             reader.close()
+            if thr_pool is not None:
+                thr_pool.close()
             if checkpoint:
                 self._ckpt_join()
         if checkpoint:
@@ -1128,6 +1200,21 @@ class DeviceAlignRunner:
         nk = int(out["nk"][ridx])
         tm = out["tr_member"][ridx][:nk]
         return write_annot(["=" if x else "." for x in tm])
+
+    def _thread_aln_row(self, ko, i, codes, rlen, titles, pair_src=None):
+        """Native-path twin of _post_chunk_threading's device-clean
+        branch: a clean DFA walk is an all-match CIGAR, annotations come
+        from the tr_member plane."""
+        title = ">" + titles[i] if titles is not None else ">r"
+        src = pair_src(title) if pair_src is not None else -1
+        src_s = "." if src == -1 else str(src)
+        dst0 = int(ko["dst0"][i])
+        s1 = _decode(codes[2 * i], rlen[2 * i])
+        s2 = _decode(codes[2 * i + 1], rlen[2 * i + 1])
+        ann2 = self._annot_str(ko, 2 * i + 1)
+        ann1 = self._annot_str(ko, 2 * i)
+        return (f"{src_s}\t{dst0}\t{title}\t{s2}\t{s1}\t"
+                f"{len(s2)}=\t{ann2}\t{len(s1)}=\t{ann1}\n")
 
     def write_aln(self, path):
         from ..io.rowsink import finalize_rows

@@ -129,3 +129,31 @@ class NativeThreader:
         tr = [chr(b) for b in tr_buf.raw[:tr_len.value]]
         kmers = [int(x) for x in km_buf[:nk.value]]
         return st, es, tr, kmers
+
+
+class ParallelThreader:
+    """Fans the thread-safe engine calls over a worker pool.
+
+    The native funnel submits both mates' walks as soon as a pair is
+    known to need host correction (at step-fetch time) and consumes the
+    futures when the pair's ordinal comes up — the engine (ctypes, GIL
+    released) runs on all cores inside the device-queue shadow while
+    results still apply in pair order."""
+
+    def __init__(self, nthr: NativeThreader, cfg, nworkers: int | None = None):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self.nthr = nthr
+        self.cfg = cfg
+        self.pool = ThreadPoolExecutor(
+            nworkers or max((os.cpu_count() or 2) - 1, 1))
+
+    def submit_read(self, dest: int, seq: str):
+        cfg = self.cfg
+        assert self.nthr.prepared(dest), "prepare() must precede submit"
+        return self.pool.submit(
+            self.nthr.thread_read, dest, seq, cfg.thread_cth,
+            cfg.correction, cfg.ksize, cfg.maxncorrection)
+
+    def close(self):
+        self.pool.shutdown(wait=True)

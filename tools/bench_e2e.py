@@ -149,8 +149,15 @@ def main():
                     bg_pool=bg_pool)
 
     rpgg = RPGG(pan)
+    # DTK_E2E_THREADING=1: graph-threading mode (the README release
+    # mode -gc) — clean walks on the device DFA, error-correction pairs
+    # fan the native engine over the host pool (VERDICT r3 item #5's
+    # e2e measurement); counting mode, no .aln output
+    threading = bool(os.environ.get("DTK_E2E_THREADING"))
     cfg = AlignConfig(ksize=21, cth=20, n_filter=4, nm_filter=1,
-                      okam=False)
+                      okam=False, threading=threading,
+                      thread_cth=int(os.environ.get("DTK_E2E_TCTH", 50)),
+                      correction=threading, maxncorrection=4)
     P = int(os.environ.get("DTK_E2E_P", 4096))
     E = int(os.environ.get("DTK_E2E_EXPAND", 512))
     retry = [int(x) for x in os.environ.get(
@@ -181,7 +188,9 @@ def main():
           f"end-to-end (ingest+prefilter+full+referee) panel={panel} "
           f"nloci={nloci} survivors={surv}/{npairs} "
           f"({100 * surv / npairs:.2f}%) referee={al2.n_referee} "
-          f"{al2.referee_reasons}", file=sys.stderr)
+          f"{al2.referee_reasons}"
+          + (f" host_thread={al2.n_host_thread}" if threading else ""),
+          file=sys.stderr)
     al2.write_trkmc_ar("/tmp/e2e.trkmc.ar")
     print(f"e2e_reads_per_sec={nreads / wall2:.0f}")
 
