@@ -492,6 +492,10 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
     NE = L - k
     E = expand_cap
     nloci = drp.nloci
+    # split expansion (see the vote section): E only holds vv-listed
+    # (multi-locus) k-mer expansions; unique k-mers stay unexpanded in
+    # the W plane.  Opt-in while being perf-qualified.
+    SPLIT = os.environ.get("DTK_SPLIT_EXPAND") == "1"
 
     # Tables can be passed to the jitted step as ARGUMENTS (a pytree of
     # device arrays, DTK_TABLE_ARGS=1) rather than closure captures:
@@ -664,10 +668,23 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
         # assigns every slot its covering run position.  (A scatter+scan
         # forward-fill of the run values themselves was tried and measured
         # 1.5x SLOWER than this gather-by-one-hot-matmul — the MXU wins.)
-        csum = jnp.cumsum(nmapped, axis=-1)
+        #
+        # SPLIT expansion (DTK_SPLIT_EXPAND=1): single-locus (even-val)
+        # k-mers need no expansion at all — their one event stays at its
+        # run position in the W plane; only vv-listed (odd) runs expand
+        # into E slots, and the downstream per-locus segment machinery
+        # runs over the CONCATENATED W+E event plane.  E then only has
+        # to hold the odd demand (~5% of the total on WGS-shaped panels,
+        # p99=65 vs 288 measured on the bench panel), so the (P, E, W)
+        # covering-run one-hot and the census shrink ~4x at equal
+        # overflow rates.  Decision-identical: even events carry nm=1
+        # exactly as their single expansion slot did.
+        odd_run = newrun & ((rval & 1) == 1)
+        nm_x = jnp.where(odd_run, nmapped, 0) if SPLIT else nmapped
+        csum = jnp.cumsum(nm_x, axis=-1)
         total = csum[:, -1]
         overflow = total > E
-        starts = csum - nmapped
+        starts = csum - nm_x
         eidx = jnp.arange(E, dtype=jnp.int32)[None, :]
         evalid_exp = eidx < jnp.minimum(total, E)[:, None]
         # covering-run selector built DIRECTLY as the one-hot: slot e is
@@ -678,8 +695,8 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
         # and gather 0 — all downstream uses mask by evalid_exp.
         e3 = eidx[:, :, None]                              # (1, E, 1)
         st3 = starts[:, None, :]                           # (P, 1, W)
-        cover = (e3 >= st3) & (e3 < st3 + nmapped[:, None, :]) \
-            & newrun[:, None, :]
+        cover = (e3 >= st3) & (e3 < st3 + nm_x[:, None, :]) \
+            & (odd_run if SPLIT else newrun)[:, None, :]
         oh_cover = cover.astype(jnp.bfloat16)
         if DEBUG_STOP == 'vote_erun':
             s2 = dict(state); s2['stats'] = state['stats'].at[0].add(
@@ -687,14 +704,21 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
                     state['stats'].dtype))
             return s2, dict(x=s2['stats'][0])
         # gather run stats at covering-run positions: one one-hot matmul;
-        # rval (u32) and starts ride as exact 16-bit halves
-        e_rv_lo, e_rv_hi, e_st_lo, e_st_hi, e_f0, e_r0, e_nm_lo, e_nm_hi = \
+        # rval (u32) rides as exact 16-bit halves.  starts <= W < 2^16
+        # (no hi half) and fcnt/rcnt <= NKW < 2^8 pack into one 16-bit
+        # channel — 6 channels instead of 8 cuts the gather's stacked
+        # operand/output bytes 25%
+        assert NKW < 256 and W < (1 << 16)
+        e_rv_lo, e_rv_hi, e_st_lo, e_fr, e_nm_lo, e_nm_hi = \
             _oh_gather(
                 [(rval & 0xFFFF).astype(jnp.int32),
                  (rval >> 16).astype(jnp.int32),
-                 starts & 0xFFFF, starts >> 16, fcnt, rcnt,
+                 starts, fcnt | (rcnt << 8),
                  nmapped & 0xFFFF, nmapped >> 16],
                 None, W, oh=oh_cover)
+        e_f0 = e_fr & 0xFF
+        e_r0 = e_fr >> 8
+        e_st_hi = 0
         e_rval = (e_rv_hi.astype(jnp.uint32) << 16) | \
             e_rv_lo.astype(jnp.uint32)
         if DEBUG_STOP == 'vote_ohg':
@@ -718,16 +742,50 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
                 (e_locus.sum() + e_f.sum() + e_r.sum()).astype(
                     state['stats'].dtype))
             return s2, dict(x=s2['stats'][0])
+        if SPLIT:
+            # even (single-locus) events ride the W plane unexpanded;
+            # event space = [W plane | E odd-expansion plane]
+            even_run = newrun & ~odd_run
+            w_loc = jnp.where(even_run,
+                              (rval >> 1).astype(jnp.uint32), NAN32)
+            w_f = jnp.where(even_run, fcnt, 0)
+            w_r = jnp.where(even_run, rcnt, 0)
+            w_nm = even_run.astype(jnp.int32)
+            widx = jnp.broadcast_to(
+                jnp.arange(W, dtype=jnp.int32)[None, :], (P, W))
+            ev_locus = jnp.concatenate([w_loc, e_locus], axis=1)
+            ev_f = jnp.concatenate([w_f, e_f], axis=1)
+            ev_r = jnp.concatenate([w_r, e_r], axis=1)
+            ev_nm_mask = jnp.concatenate(
+                [w_nm, jnp.where(evalid_exp, e_nm, 0)], axis=1)
+            ev_starts = jnp.concatenate([widx, W + e_starts], axis=1)
+            ev_run_nm = jnp.concatenate(
+                [jnp.ones((P, W), jnp.int32), e_nm], axis=1)
+            EV = W + E
+        else:
+            ev_locus, ev_f, ev_r = e_locus, e_f, e_r
+            ev_nm_mask = jnp.where(evalid_exp, e_nm, 0)
+            ev_starts, ev_run_nm = e_starts, e_nm
+            EV = E
+        ev_idx = jnp.broadcast_to(
+            jnp.arange(EV, dtype=jnp.int32)[None, :], (P, EV))
         # per-(pair, locus) totals: in-row sort + prefix-sum differences at
         # segment starts (scatter-free).  Secondary key -nmapped puts each
         # locus segment's max-nmapped slot FIRST (its last event in the
         # reference's nmapped-ascending scan, needed for the tie-break);
-        # g_src tracks the expansion slot for the scatter back.
-        e_nm_mask = jnp.where(evalid_exp, e_nm, 0)
-        g_loc, g_negnm, g_f, g_r, g_src = jax.lax.sort(
-            (e_locus, -e_nm_mask, e_f, e_r,
-             jnp.broadcast_to(eidx, (P, E))),
-            dimension=-1, num_keys=2)
+        # g_src tracks the event slot for the scatter back.
+        # payload packing: f/r (< 2^8) and the slot id ride one i32
+        # through the sort — 3 arrays instead of 5 moves 40% less
+        # payload through lax.sort's passes.  Keys (locus, -nm) stay
+        # exact, so the scan-order semantics are untouched.
+        IDXB = max(EV - 1, 1).bit_length()
+        assert 16 + IDXB <= 31, ("event width too large to pack", EV)
+        e_pk = (ev_f << (8 + IDXB)) | (ev_r << IDXB) | ev_idx
+        g_loc, g_negnm, g_pk = jax.lax.sort(
+            (ev_locus, -ev_nm_mask, e_pk), dimension=-1, num_keys=2)
+        g_f = g_pk >> (8 + IDXB)
+        g_r = (g_pk >> IDXB) & 0xFF
+        g_src = g_pk & ((1 << IDXB) - 1)
         g_nm = -g_negnm
         g_valid = g_loc != NAN32
         segnew = g_valid & jnp.concatenate(
@@ -794,20 +852,21 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
         # candidate flag across each segment, mark nm == m slots
         g_cand = (_seg_bcast(cand_seg, segnew, False)
                   & (g_nm == m_lvl) & g_valid)
-        e_cand = _oh_scatter_bool(g_cand, g_src, E)
-        # per-run candidate census via prefix sums over expansion slots
+        e_cand = _oh_scatter_bool(g_cand, g_src, EV)
+        # per-run candidate census via prefix sums over event slots
+        # (under SPLIT every W-plane even event is its own 1-slot run)
         ccum = jnp.concatenate(
             [jnp.zeros((P, 1), jnp.int32),
              jnp.cumsum(e_cand.astype(jnp.int32), axis=-1)], axis=-1)
-        run_end = jnp.minimum(e_starts + e_nm, E)
-        c_start, = _oh_gather([ccum], jnp.clip(e_starts, 0, E), E + 1)
-        c_end, = _oh_gather([ccum], run_end, E + 1)
+        run_end = jnp.minimum(ev_starts + ev_run_nm, EV)
+        c_start, = _oh_gather([ccum], jnp.clip(ev_starts, 0, EV), EV + 1)
+        c_end, = _oh_gather([ccum], run_end, EV + 1)
         ccr = c_end - c_start                     # candidates in my run
         c_before = ccum[:, :-1] - c_start         # candidates before me
         firstflag = e_cand & (c_before == 0)
         ok_counts = ~jnp.any(e_cand & (ccr != nC[:, None]), axis=-1)
-        floc_min = jnp.min(jnp.where(firstflag, e_locus, NAN32), axis=-1)
-        floc_max = jnp.max(jnp.where(firstflag, e_locus, 0), axis=-1)
+        floc_min = jnp.min(jnp.where(firstflag, ev_locus, NAN32), axis=-1)
+        floc_max = jnp.max(jnp.where(firstflag, ev_locus, 0), axis=-1)
         multi_ok = ok_counts & (floc_min == floc_max) & (floc_min != NAN32)
         tie_res = tie & jnp.where(nC == 1, True, multi_ok)
         win_loc = jnp.where(nC == 1, winner1, floc_min)

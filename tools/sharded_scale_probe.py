@@ -121,24 +121,63 @@ def main():
     assert np.array_equal(v2s[fh], v2h[fh]), "sharded val2 != host"
     print(f"# collective probe == host lookup on {B} queries "
           f"({int(fh.sum())} hits) in {dt_probe:.0f}s (incl compile)",
-          file=sys.stderr)
+          file=sys.stderr, flush=True)
 
-    # ---- 2. sharded prefilter decisions == replicated ----
+    # ---- 2. sharded prefilter decisions == host/replicated ----
     cfg = AlignConfig(ksize=21, cth=20, n_filter=4, nm_filter=1)
     Pp, L = 1024, 150
     codes, rlen = sample_read_batch(np.asarray(seqs[:4096]), Pp, L, rng,
                                     frac_tr=0.5)
     live = np.ones(Pp, bool)
-    s_rep = np.asarray(da.make_prefilter_step(drp, cfg, Pp, L)(
-        codes, rlen, live))
-    step_sh, _pl = si.make_sharded_prefilter(drp, cfg, mesh, Pp, L)
-    s_sh = np.asarray(step_sh(codes, rlen, live))
-    assert np.array_equal(s_rep, s_sh), "sharded prefilter != replicated"
+    if drp.dbi_tab.nbytes > 16e9:
+        # FULL-index path: the integration prefilter step would need two
+        # more whole-table copies (replicated device + re-sharded) on
+        # top of the loaded host tables — that OOMs a 125 GB host at
+        # 36.5 GB/dbi.  Instead drive the prefilter DECISION math over
+        # the already-sharded collective probe (the exact lookups the
+        # sharded prefilter wires through probe_fns) and compare against
+        # the pure-host decision.
+        from danbing_tk_tpu.ops.kmers_np import sample_subfilter_queries
+
+        sqlo, sqhi, svalid, snonshort = sample_subfilter_queries(
+            codes, rlen, cfg.ksize, cfg.n_filter)
+        Bq = sqlo.size
+        pad = (-Bq) % ndev
+        qlo_p = np.concatenate([sqlo.ravel(),
+                                np.full(pad, 0xFFFFFFFF, np.uint32)])
+        qhi_p = np.concatenate([sqhi.ravel(),
+                                np.full(pad, 0xFFFFFFFF, np.uint32)])
+        fsh = np.asarray(jax.jit(jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P("data"), P("data")) + tuple(
+                P("data") for _ in range(nlv)),
+            out_specs=(P("data"), P("data"), P("data")),
+            check_vma=False))(qlo_p, qhi_p, *stacked)[0])[:Bq]
+        found_sh = fsh.reshape(svalid.shape) & svalid
+        read_pass = found_sh.sum(axis=1) >= cfg.nm_filter
+        s_sh = (read_pass & snonshort).reshape(Pp, 2).all(axis=1) & live
+        skeys = (sqlo.astype(np.uint64)
+                 | (sqhi.astype(np.uint64) << 32)).ravel()
+        fh2 = dt.lookup_bucket_np(drp.dbi_tab, skeys)[0]
+        found_h = fh2.reshape(svalid.shape) & svalid
+        s_host = ((found_h.sum(axis=1) >= cfg.nm_filter)
+                  & snonshort).reshape(Pp, 2).all(axis=1) & live
+        assert np.array_equal(s_host, s_sh), \
+            "sharded prefilter decisions != host"
+        nsurv = int(s_sh.sum())
+    else:
+        s_rep = np.asarray(da.make_prefilter_step(drp, cfg, Pp, L)(
+            codes, rlen, live))
+        step_sh, _pl = si.make_sharded_prefilter(drp, cfg, mesh, Pp, L)
+        s_sh = np.asarray(step_sh(codes, rlen, live))
+        assert np.array_equal(s_rep, s_sh), \
+            "sharded prefilter != replicated"
+        nsurv = int(s_rep.sum())
     print(f"# sharded prefilter decision-identical on {Pp} pairs "
-          f"({int(s_rep.sum())} survive)", file=sys.stderr)
+          f"({nsurv} survive)", file=sys.stderr, flush=True)
     print("SHARDED-SCALE-PROBE-OK "
           f"dbi={drp.dbi_tab.nbytes/1e9:.2f}GB shard={per_dev/1e9:.2f}GB"
-          f" x{ndev}")
+          f" x{ndev}", flush=True)
 
 
 if __name__ == "__main__":
