@@ -164,7 +164,10 @@ def main():
     L = 160
     nsteps = int(os.environ.get("DTK_BENCH_STEPS", 8))
     nloci = int(os.environ.get("DTK_BENCH_NLOCI", 512))
-    E = int(os.environ.get("DTK_BENCH_E", 512))
+    # split expansion is the engine default; E only holds multi-locus
+    # expansions, so 192 covers the toy panel's odd demand (p99=65)
+    # with 3x margin — the [1024] retry tier is a lazy-compiled guard
+    E = int(os.environ.get("DTK_BENCH_E", 192))
     err = float(os.environ.get("DTK_BENCH_ERR", 0.0))
     # 4M pairs (r02/r03 used 2M): pass walls of ~7 s halve the relative
     # timing jitter; the metric (reads/s) stays directly comparable
@@ -293,9 +296,12 @@ def main():
                              okam=False)
 
         def mk_real(prev):
+            # the real-motif panel shares TR k-mers heavily across loci
+            # (odd-demand p50 ~10k slots/pair): a deep ladder keeps the
+            # overflow tail on device; the rest referees exactly
             al = DeviceAlignRunner(rp_rpgg, rp_cfg, batch_pairs=P,
-                                   max_read_len=160, expand_cap=E,
-                                   retry_expand=[4096])
+                                   max_read_len=160, expand_cap=512,
+                                   retry_expand=[4096, 16384])
             if prev is not None:
                 al.step = prev.step
                 al.retry_steps = prev.retry_steps
@@ -311,9 +317,10 @@ def main():
             "value": round(rate, 1), "unit": "reads/s",
             "vs_baseline": _vsb(rate),
             "provenance": f"{nloci}-locus real-motif panel (real VNTR "
-                          "motifs + human-composition flanks), real hg38 "
-                          "chr12 background, 0.2%/base errors, retry "
-                          "ladder E=4096",
+                          "motifs, heavy cross-locus k-mer sharing, "
+                          "independent-Markov flanks), real hg38 chr12 "
+                          "background, 0.2%/base errors, E=512 + retry "
+                          "ladder [4096, 16384]",
         }
         if spread_of(times) > 0.15:
             m["contaminated"] = True
@@ -325,9 +332,11 @@ def main():
 
     def mk_toy(prev):
         al = DeviceAlignRunner(rpgg, e2e_cfg, batch_pairs=P,
-                               max_read_len=L)
+                               max_read_len=L, expand_cap=E,
+                               retry_expand=[max(4 * E, 1024)])
         if prev is not None:
             al.step = prev.step
+            al.retry_steps = prev.retry_steps
             al.prefilter_step = getattr(prev, "prefilter_step", None)
             al.prefilter_P = getattr(prev, "prefilter_P", None)
         return al

@@ -494,8 +494,10 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
     nloci = drp.nloci
     # split expansion (see the vote section): E only holds vv-listed
     # (multi-locus) k-mer expansions; unique k-mers stay unexpanded in
-    # the W plane.  Opt-in while being perf-qualified.
-    SPLIT = os.environ.get("DTK_SPLIT_EXPAND") == "1"
+    # the W plane.  Default ON — measured 67.0 ms/step at E=128 vs 79.9
+    # at E=512 unsplit on the bench panel (byte-exact; PERF.md);
+    # DTK_SPLIT_EXPAND=0 restores the unsplit layout.
+    SPLIT = os.environ.get("DTK_SPLIT_EXPAND", "1") == "1"
 
     # Tables can be passed to the jitted step as ARGUMENTS (a pytree of
     # device arrays, DTK_TABLE_ARGS=1) rather than closure captures:

@@ -125,6 +125,36 @@ class Markov:
             ctx = (ctx % mod) * 4 + c
         return out
 
+    def sample_batch(self, nseq: int, length: int) -> np.ndarray:
+        """nseq INDEPENDENT Markov walks, vectorized across sequences
+        (one transition step per position over all walks).  Independent
+        walks share only chance k-mers — the model for genomic flanks,
+        which are unique sequence in a real genome.  (Slicing flanks
+        out of one shared reservoir gave every 21-mer ~hundreds of
+        locus hits and inflated the vote expansion demand ~30x over
+        anything a real panel produces.)"""
+        rng = self.rng
+        dense = np.zeros((4 ** self.k, 4), float)
+        for ctx, probs in self.table.items():
+            dense[ctx] = probs
+        seen = np.array(self.ctxs, np.int64)
+        ctx = seen[rng.integers(0, len(seen), nseq)]
+        out = np.empty((nseq, length), np.uint8)
+        mod = 4 ** (self.k - 1)
+        for i in range(length):
+            rows = dense[ctx]
+            bad = rows.sum(axis=1) == 0
+            if bad.any():                          # unseen ctx: restart
+                ctx[bad] = seen[rng.integers(0, len(seen),
+                                             int(bad.sum()))]
+                rows = dense[ctx]
+            cdf = np.cumsum(rows, axis=1)
+            cdf /= cdf[:, -1:]
+            c = (rng.random((nseq, 1)) > cdf).sum(axis=1)
+            out[:, i] = BASES[c]
+            ctx = (ctx % mod) * 4 + c
+        return out
+
 
 def _mutate(arr: np.ndarray, rate: float, rng) -> np.ndarray:
     m = rng.random(len(arr)) < rate
@@ -141,7 +171,8 @@ def build(outdir: str, nloci: int = 30_488, nhap: int = 2,
           seed: int = 7) -> str:
     os.makedirs(outdir, exist_ok=True)
     pan = os.path.join(outdir, "pan")
-    if os.path.exists(pan + ".kmers.dbi"):
+    ver = os.path.join(outdir, "PANEL_V2")
+    if os.path.exists(pan + ".kmers.dbi") and os.path.exists(ver):
         return pan
     rng = np.random.default_rng(seed)
     pool = load_real_pool()
@@ -166,14 +197,19 @@ def build(outdir: str, nloci: int = 30_488, nhap: int = 2,
           f"(lens {sorted(set(len(m) for m in motifs))[:10]}...)",
           file=sys.stderr)
     mk = Markov(pool, order=6, seed=seed + 1)
-    # pre-generate one big Markov reservoir, then slice flanks from it
-    # (the per-base sampler is Python-speed; 2*FS*nloci bases direct
-    # would take hours)
-    reservoir = mk.sample(2_000_000)
+    # v2: per-flank INDEPENDENT Markov walks (vectorized batch sampler).
+    # v1 sliced all flanks from one 2 MB reservoir, which made every
+    # flank 21-mer map to ~hundreds of loci — an artifact no real panel
+    # has (genomic flanks are unique sequence); measured it inflated
+    # per-pair vote expansion demand to p50 ~9,300 slots vs ~60 for
+    # independent flanks.
+    all_flanks = mk.sample_batch(2 * nloci, FS)
+    flank_i = [0]
 
     def flank():
-        b = int(rng.integers(0, len(reservoir) - FS))
-        return _mutate(reservoir[b:b + FS], 0.02, rng)
+        f = all_flanks[flank_i[0]]
+        flank_i[0] += 1
+        return _mutate(f, 0.02, rng)
 
     hapfiles = [os.path.join(outdir, f"hap{h}.fa") for h in range(nhap)]
     fhs = [open(p, "w") for p in hapfiles]
@@ -205,6 +241,8 @@ def build(outdir: str, nloci: int = 30_488, nhap: int = 2,
     fa2kmers(pan, hapfiles, k=KSIZE, fsi=FS, fso=FS, gen_graph=False)
     make_tre_kmers(pan, hapfiles, KSIZE, FS)
     dbi_mod.serialize(pan)
+    with open(ver, "w") as f:
+        f.write("flanks=independent-markov-walks (v2)\n")
     return pan
 
 
