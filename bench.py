@@ -123,10 +123,24 @@ def scale_funnel_metric():
     env.setdefault("DTK_SF_STEADY", "3")
     env.setdefault("DTK_PREFILTER_MULT", "16")
     t0 = time.time()
-    r = subprocess.run(
-        [sys.executable, os.path.join(ROOT, "tools",
-                                      "bench_scale_funnel.py")],
-        env=env, capture_output=True, text=True, timeout=3600, cwd=ROOT)
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.join(ROOT, "tools",
+                                          "bench_scale_funnel.py")],
+            env=env, capture_output=True, text=True,
+            timeout=int(os.environ.get("DTK_BENCH_SCALE_TIMEOUT", 3600)),
+            cwd=ROOT)
+    except subprocess.TimeoutExpired as e:
+        # a cold compile cache can push the 115M-key run past the
+        # budget; skip the metric rather than kill the whole bench
+        # (the warm cache makes the next round's run fit)
+        sys.stderr.write((e.stderr or b"").decode("utf-8", "replace")
+                         [-2000:] if isinstance(e.stderr, bytes)
+                         else (e.stderr or "")[-2000:])
+        print(f"# scale funnel TIMED OUT after {time.time()-t0:.0f}s — "
+              f"skipped (compile cache now warmer; re-run to capture)",
+              file=sys.stderr)
+        return None
     sys.stderr.write(r.stderr[-4000:])
     if r.returncode != 0:
         print(f"# scale funnel FAILED rc={r.returncode} "

@@ -280,6 +280,32 @@ class FlatRPGG:
         (kmer,locus) value = (rank<<3) | (in_tr<<2) | ann with ann
         1=flank 2=TR; single-locus kmers carry it in the dbi row's
         second plane, multi-locus ones in the composite trfl table."""
+        return cls(**cls._inputs_from_device_tables(drp))
+
+    @classmethod
+    def from_device_tables_cached(cls, drp: DeviceRPGG,
+                                  cache: str) -> "FlatRPGG":
+        """Disk-cached variant: the table-entry extraction at 115M keys
+        costs minutes per process (bucket scans over GB-scale tables);
+        the extracted constructor inputs reload in seconds."""
+        import os
+
+        if os.path.exists(cache):
+            z = np.load(cache)
+            kw = {k: z[k] for k in z.files}
+            kw["nloci"] = int(kw["nloci"])
+            kw["nslots"] = int(kw["nslots"])
+            if "tre_keys" not in kw:
+                kw["tre_keys"] = kw["tre_loci"] = None
+            return cls(**kw)
+        kw = cls._inputs_from_device_tables(drp)
+        save = {k: v for k, v in kw.items() if v is not None}
+        np.savez(cache + ".tmp.npz", **save)
+        os.replace(cache + ".tmp.npz", cache)
+        return cls(**kw)
+
+    @classmethod
+    def _inputs_from_device_tables(cls, drp: DeviceRPGG) -> dict:
         keys, vals, ann = _table_entries(drp.dbi_tab)
         # single-locus (even) entries annotated in the dbi row itself
         ev = (vals & 1) == 0
@@ -300,10 +326,10 @@ class FlatRPGG:
         if drp.tre_tab is not None and drp.tre_tab.levels:
             tre_k, tre_l, _ = _table_entries(drp.tre_tab)
             tre_l = tre_l.astype(np.int64)
-        return cls(
-            drp.nloci, keys, vals, drp.vv,
-            ekeys[is_tr], eloci[is_tr],
-            (ebits[is_tr] >> 3).astype(np.int64),
-            ekeys[is_fl], eloci[is_fl],
-            drp.locus_offsets, drp.nslots,
+        return dict(
+            nloci=drp.nloci, dbi_keys=keys, dbi_vals=vals, vv=drp.vv,
+            tr_keys=ekeys[is_tr], tr_loci=eloci[is_tr],
+            tr_ranks=(ebits[is_tr] >> 3).astype(np.int64),
+            fl_keys=ekeys[is_fl], fl_loci=eloci[is_fl],
+            locus_offsets=drp.locus_offsets, nslots=drp.nslots,
             tre_keys=tre_k, tre_loci=tre_l)

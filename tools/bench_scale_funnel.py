@@ -75,10 +75,12 @@ def main():
     print(f"# index load: {time.time()-t0:.0f}s", file=sys.stderr)
 
     t0 = time.time()
-    flat = FlatRPGG.from_device_tables(drp)
+    root0 = os.path.join(os.path.dirname(__file__), "..", "build")
+    flat = FlatRPGG.from_device_tables_cached(
+        drp, os.path.join(root0, f"flat_{nloci}_{kpl}_v1.npz"))
     print(f"# flat host view (exact referee substrate): "
           f"{len(flat.dbi)/1e6:.1f}M keys in {time.time()-t0:.0f}s",
-          file=sys.stderr)
+          file=sys.stderr, flush=True)
 
     # WGS-shaped reads file (cached by shape)
     root = os.path.join(os.path.dirname(__file__), "..", "build")
