@@ -193,17 +193,33 @@ class FlatRPGG:
                  tr_keys, tr_loci, tr_ranks,
                  fl_keys, fl_loci, locus_offsets, nslots,
                  tre_keys=None, tre_loci=None):
-        self.nloci = int(nloci)
+        nloci = int(nloci)
         order = np.argsort(dbi_keys, kind="stable")
-        self.dbi = FlatDbiMap(np.ascontiguousarray(dbi_keys[order]),
-                              np.ascontiguousarray(dbi_vals[order]))
-        self.vv = np.asarray(vv, dtype=np.uint32)
-        self.locus_offsets = np.asarray(locus_offsets, dtype=np.int64)
-        self.nslots = int(nslots)
-        self._counts = np.zeros(self.nslots, dtype=np.uint64)
+        f = dict(nloci=nloci,
+                 skeys=np.ascontiguousarray(dbi_keys[order]),
+                 svals=np.ascontiguousarray(dbi_vals[order]),
+                 vv=np.asarray(vv, dtype=np.uint32),
+                 locus_offsets=np.asarray(locus_offsets, np.int64),
+                 nslots=int(nslots))
+        f["tr_k"], f["tr_off"], f["tr_rk"] = _entries_to_csr(
+            nloci, tr_keys, tr_loci, tr_ranks)
+        f["fl_k"], f["fl_off"], _ = _entries_to_csr(
+            nloci, fl_keys, fl_loci)
+        if tre_keys is not None:
+            f["tre_k"], f["tre_off"], _ = _entries_to_csr(
+                nloci, tre_keys, tre_loci)
+        self._attach(f)
 
-        tk, toff, trk = _entries_to_csr(self.nloci, tr_keys,
-                                        tr_loci, tr_ranks)
+    def _attach(self, f: dict):
+        """Wire the views from FINAL (sorted/CSR) arrays — the cached
+        fast path skips every sort."""
+        self.nloci = int(f["nloci"])
+        self.dbi = FlatDbiMap(f["skeys"], f["svals"])
+        self.vv = f["vv"]
+        self.locus_offsets = np.asarray(f["locus_offsets"], np.int64)
+        self.nslots = int(f["nslots"])
+        self._counts = np.zeros(self.nslots, dtype=np.uint64)
+        tk, toff, trk = f["tr_k"], f["tr_off"], f["tr_rk"]
         base = self.locus_offsets
         cnt = self._counts
         self._tr = (tk, toff, trk)
@@ -222,12 +238,12 @@ class FlatRPGG:
                 f"locus {bad}: {int(ncsr[bad])} TR entries but slot span "
                 f"{int(span[bad])} — index inconsistent")
 
-        fk, foff, _ = _entries_to_csr(self.nloci, fl_keys, fl_loci)
+        fk, foff = f["fl_k"], f["fl_off"]
         self._fl = (fk, foff)
         self.fl_sets = _CsrList(fk, foff,
                                 lambda li, s, e: FlatLocusSet(fk[s:e]))
-        if tre_keys is not None:
-            gk, goff, _ = _entries_to_csr(self.nloci, tre_keys, tre_loci)
+        if "tre_k" in f and f["tre_k"] is not None:
+            gk, goff = f["tre_k"], f["tre_off"]
             self.tre_sets = _CsrList(
                 gk, goff, lambda li, s, e: FlatLocusSet(gk[s:e]))
         else:
@@ -243,6 +259,17 @@ class FlatRPGG:
             tk, toff,
             lambda li, s, e: FlatLocusCounts(
                 tk[s:e], trk[s:e], int(base[li]), cnt).rank_order())
+
+    def _final_arrays(self) -> dict:
+        f = dict(nloci=self.nloci, skeys=self.dbi.skeys,
+                 svals=self.dbi.svals, vv=self.vv,
+                 locus_offsets=self.locus_offsets, nslots=self.nslots)
+        f["tr_k"], f["tr_off"], f["tr_rk"] = self._tr
+        f["fl_k"], f["fl_off"] = self._fl
+        if len(self.tre_sets.keys):
+            f["tre_k"] = self.tre_sets.keys
+            f["tre_off"] = self.tre_sets.off
+        return f
 
     # -- fast paths consumed by NativeReferee / the runner --
 
@@ -285,24 +312,22 @@ class FlatRPGG:
     @classmethod
     def from_device_tables_cached(cls, drp: DeviceRPGG,
                                   cache: str) -> "FlatRPGG":
-        """Disk-cached variant: the table-entry extraction at 115M keys
-        costs minutes per process (bucket scans over GB-scale tables);
-        the extracted constructor inputs reload in seconds."""
+        """Disk-cached variant: building the view at 115M keys costs
+        ~4-5 min/process (bucket-table entry extraction + 115M-key
+        sorts + CSR builds); the FINAL sorted arrays reload with zero
+        sorting in ~np.load time."""
         import os
 
         if os.path.exists(cache):
             z = np.load(cache)
-            kw = {k: z[k] for k in z.files}
-            kw["nloci"] = int(kw["nloci"])
-            kw["nslots"] = int(kw["nslots"])
-            if "tre_keys" not in kw:
-                kw["tre_keys"] = kw["tre_loci"] = None
-            return cls(**kw)
-        kw = cls._inputs_from_device_tables(drp)
-        save = {k: v for k, v in kw.items() if v is not None}
-        np.savez(cache + ".tmp.npz", **save)
+            f = {k: z[k] for k in z.files}
+            obj = cls.__new__(cls)
+            obj._attach(f)
+            return obj
+        flat = cls(**cls._inputs_from_device_tables(drp))
+        np.savez(cache + ".tmp.npz", **flat._final_arrays())
         os.replace(cache + ".tmp.npz", cache)
-        return cls(**kw)
+        return flat
 
     @classmethod
     def _inputs_from_device_tables(cls, drp: DeviceRPGG) -> dict:
