@@ -896,17 +896,21 @@ class HostAligner:
                 self._record_extract(title, seq1, seq2, dest)
             return
         if alned0 or alned1:
-            cak: dict[int, int] = {}
+            # canonicalize the whole corrected k-mer stream in ONE
+            # vectorized pass (per-kmer to_ca built a numpy array per
+            # call and dominated the fallback at 33 pairs/s; trc updates
+            # are commutative adds, so batch order is free)
+            kml = []
             if alned0:
-                for km in ak0:
-                    if km != thr.NAN64:
-                        ca = thr.to_ca(km, k)
-                        cak[ca] = cak.get(ca, 0) + 1
+                kml.extend(km for km in ak0 if km != thr.NAN64)
             if alned1:
-                for km in ak1:
-                    if km != thr.NAN64:
-                        ca = thr.to_ca(km, k)
-                        cak[ca] = cak.get(ca, 0) + 1
+                kml.extend(km for km in ak1 if km != thr.NAN64)
+            cak: dict[int, int] = {}
+            if kml:
+                arr = np.array(kml, dtype=np.uint64)
+                ca_arr = np.minimum(arr, K.revcomp_kmers(arr, k))
+                for ca in ca_arr.tolist():
+                    cak[ca] = cak.get(ca, 0) + 1
             for km, c in cak.items():
                 if km in trc:
                     trc[km] += c
