@@ -46,7 +46,13 @@ def _vsb(rate):
 def quiesce(tol: float = 1.0, timeout: float = 600) -> bool:
     """Refuse to measure on a contended host: wait (up to `timeout` s)
     for 1-min loadavg <= tol.  Returns False if the host never quiets
-    (measurement proceeds with a loud warning)."""
+    (measurement proceeds with a loud warning).
+
+    DTK_QUIESCE_TOL / DTK_QUIESCE_TIMEOUT override the defaults — used
+    by deliberate cache-WARMING runs on a busy host, where the numbers
+    are discarded and only the compiled-program / panel caches matter."""
+    tol = float(os.environ.get("DTK_QUIESCE_TOL", tol))
+    timeout = float(os.environ.get("DTK_QUIESCE_TIMEOUT", timeout))
     t0 = time.time()
     while True:
         load1 = os.getloadavg()[0]
