@@ -18,9 +18,23 @@ if "host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "1")
 
+import subprocess  # noqa: E402
+
 import pytest  # noqa: E402
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+# Build the native C++ engines BEFORE collection: the native-gated tests'
+# skipif conditions (native_referee/native_thread.available()) are
+# evaluated while test modules import, so on a fresh checkout (no
+# build/*.so yet) they would all skip even though the libs build fine.
+# A no-op make returns in milliseconds once the libs are current.
+_NATIVE = os.path.join(os.path.dirname(__file__), "..", "native")
+try:
+    subprocess.run(["make", "-C", _NATIVE], check=False,
+                   capture_output=True, timeout=300)
+except Exception:
+    pass  # tests that need the libs will skip with their own reason
 
 
 @pytest.fixture(scope="session")
