@@ -31,10 +31,17 @@ GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
 # A no-op make returns in milliseconds once the libs are current.
 _NATIVE = os.path.join(os.path.dirname(__file__), "..", "native")
 try:
-    subprocess.run(["make", "-C", _NATIVE], check=False,
-                   capture_output=True, timeout=300)
-except Exception:
-    pass  # tests that need the libs will skip with their own reason
+    _r = subprocess.run(["make", "-C", _NATIVE], check=False,
+                        capture_output=True, timeout=300, text=True)
+    if _r.returncode != 0:
+        import sys as _sys
+        print(f"WARNING: native build failed (rc={_r.returncode}); "
+              f"native-gated tests will skip.  stderr tail:\n"
+              f"{_r.stderr[-2000:]}", file=_sys.stderr)
+except Exception as _e:  # tests that need the libs skip with their own reason
+    import sys as _sys
+    print(f"WARNING: native build could not run ({_e}); "
+          f"native-gated tests will skip", file=_sys.stderr)
 
 
 @pytest.fixture(scope="session")

@@ -144,7 +144,8 @@ def main():
     # steady passes (reuse compiled programs): median of DTK_SF_STEADY
     # with the spread printed (round-3 lesson: single passes hide
     # host-contention corruption)
-    nsteady = int(os.environ.get("DTK_SF_STEADY", 1))
+    nsteady = int(os.environ.get("DTK_SF_STEADY", 5))
+    deadline_ts = float(os.environ.get("DTK_PF_DEADLINE_TS", 0) or 0)
     walls = []
     al2 = al
     for _ in range(max(nsteady, 1)):
@@ -159,6 +160,12 @@ def main():
         al2.run_file_native(reads, prefilter=True)
         _ = sink(al2)
         walls.append(time.time() - t0)
+        # soft deadline (set by bench.py): stop early with however many
+        # passes fit rather than being hard-killed with nothing
+        if deadline_ts and time.time() + 1.2 * max(walls) > deadline_ts:
+            print(f"# steady: soft deadline reached after {len(walls)} "
+                  f"pass(es)", file=sys.stderr, flush=True)
+            break
     wall2 = sorted(walls)[len(walls) // 2]
     spread = (max(walls) - min(walls)) / wall2
     rps2 = report("steady", al2, wall2)
@@ -199,8 +206,14 @@ def main():
         "value": round(rps2, 1),
         "unit": f"reads/s@{nkeys/1e6:.0f}Mkeys",
         "vs_baseline": round(rps2 / (6.2e8 / (12 * 3600)), 2),
+        "spread": round(spread, 4),
+        "passes": len(walls),
     }
-    print(json.dumps(out))
+    # same discipline as the panel metrics (VERDICT r4 weak #5): the
+    # number carries its spread, and a loud flag when it is untrustworthy
+    if spread > 0.15 or len(walls) < 3:
+        out["contaminated"] = True
+    print(json.dumps(out), flush=True)
     if ck_over is not None:
         print(json.dumps({"metric": "scale_funnel_ckpt_overhead",
                           "value": round(ck_over, 4), "unit": "frac",
