@@ -196,10 +196,19 @@ class DeviceAlignRunner:
         # step-fetch time and apply results in pair order — the walks
         # run on all host cores inside the device-queue shadow
         thr_pool = None
+        thr_batch_pool = None
         if thr_mode and getattr(self.host, "_nthr", None) is not None:
             from .native_thread import ParallelThreader
 
             thr_pool = ParallelThreader(self.host._nthr, cfg)
+            # batched fallback calls MUST serialize: each dtk_thread_pairs
+            # call merges into the shared per-locus CountMaps at its end,
+            # and two concurrent merges would race on the unordered_maps.
+            # One worker = one call in flight (its internal threads give
+            # the parallelism); later steps' batches queue behind it.
+            from concurrent.futures import ThreadPoolExecutor
+
+            thr_batch_pool = ThreadPoolExecutor(1)
         # okam/-bu side outputs are order-sensitive (.kam rows interleave
         # device and referee rows in pair order; .bub bytes depend on the
         # batch-local map insert order), while the retry ladder resolves
@@ -444,6 +453,37 @@ class DeviceAlignRunner:
                                        results=results)
                 if len(rows) > n0:
                     self.aln_rows.append(rows.pop())
+            elif tag == "thrb":
+                # batched fallback (dtk_thread_pairs): the C++ call did
+                # the walks, corrections AND k-mer counting for the
+                # whole step in one shot; this apply only reads the
+                # per-slot status (+ ready RLE strings in aln mode)
+                _, title, s1, s2, src, dest, fut, j = e
+                self.n_host_thread += 1
+                host = self.host
+                host.stats["nThreadingReads"] += 2
+                status, cg_rows = fut.result()
+                a0, a1 = int(status[2 * j]), int(status[2 * j + 1])
+                if a0 or a1:
+                    host.stats["nFeasibleReads"] += (
+                        int(bool(a0)) + int(bool(a1)))
+                else:
+                    dest = host.g.nloci
+                if self.cfg.aln:
+                    if self.cfg.simmode:
+                        keep = (not self.cfg.aln_minimal) or (
+                            src != host.g.nloci or dest != host.g.nloci)
+                    else:
+                        keep = (not self.cfg.aln_minimal) \
+                            or dest != host.g.nloci
+                    if keep:
+                        c2, t2 = cg_rows[2 * j + 1].decode().split(
+                            "\t", 1)
+                        c1, t1 = cg_rows[2 * j].decode().split("\t", 1)
+                        src_s = "." if src == -1 else str(src)
+                        self.aln_rows.append(
+                            f"{src_s}\t{dest}\t{title}\t{s2}\t{s1}\t"
+                            f"{c2}\t{t2}\t{c1}\t{t1}\n")
             else:                               # referee (synchronous)
                 _, title, s1, s2, src, qs = e
                 self.n_referee += 1
@@ -520,6 +560,41 @@ class DeviceAlignRunner:
                 pair_bub = np.zeros(n, dtype=bool)
             if kam_out is not None:
                 ko = {k: np.asarray(v) for k, v in kam_out.items()}
+            # threading fallback BATCH: gather every pair of this step
+            # that needs host correction and walk them in ONE native
+            # call (dtk_thread_pairs: internal worker threads, counting
+            # in C++).  The old per-pair path (ctypes call + Python
+            # list/dict work per pair, ~0.43 ms/pair serial) capped
+            # threading-mode e2e at ~96k reads/s; the batch removes all
+            # per-pair Python from the hot path.  DTK_THREAD_BATCH=0
+            # restores the per-pair path for A/B.
+            thr_batch = None
+            if (ordered and thr_mode and thr_pool is not None
+                    and os.environ.get("DTK_THREAD_BATCH", "1") != "0"
+                    and hasattr(self.host._nthr, "thread_pairs")):
+                alive_m = (ko["nonshort"][:n] & ~ko["sub_drop"][:n]
+                           & ko["pair_alive"][:n] & ~ko["qc_drop"][:n]
+                           & ko["vote_pass"][:n])
+                fb = np.zeros(n, dtype=bool)
+                fb[lo:] = (alive_m[lo:] & ~ko["clean_pair"][lo:n]
+                           & ~referee[lo:] & ~ovf[lo:])
+                bidx = np.nonzero(fb)[0]
+                if len(bidx):
+                    nthr = self.host._nthr
+                    bdests = [int(d) for d in ko["dst0"][bidx]]
+                    for d in bdests:
+                        nthr.prepare(d, self.host.g.graphs[d],
+                                     self.host.g.tr_counts[d])
+                    rows = np.empty(2 * len(bidx), dtype=np.int64)
+                    rows[0::2] = 2 * bidx
+                    rows[1::2] = 2 * bidx + 1
+                    fut = thr_batch_pool.submit(
+                        nthr.thread_pairs, bdests, codes[rows],
+                        np.asarray(rlen)[rows], cfg.thread_cth,
+                        cfg.correction, cfg.ksize, cfg.maxncorrection,
+                        0, cfg.aln)
+                    thr_batch = (fut, {int(i): j
+                                       for j, i in enumerate(bidx)})
             if ordered:
                 # ordinal-buffered effects: deferred pairs leave a hole
                 # their retry tier fills; everything applies in pair order
@@ -542,24 +617,41 @@ class DeviceAlignRunner:
                         if alive:
                             dst0_i = int(ko["dst0"][i])
                             if not ko["clean_pair"][i]:
-                                s1 = _decode(codes[2 * i], rlen[2 * i])
-                                s2 = _decode(codes[2 * i + 1],
-                                             rlen[2 * i + 1])
                                 title = (">" + titles[i]
                                          if titles is not None else ">r")
                                 srcv = pair_src(title) if sim else -1
-                                futs = None
-                                if thr_pool is not None:
-                                    self.host._nthr.prepare(
-                                        dst0_i,
-                                        self.host.g.graphs[dst0_i],
-                                        self.host.g.tr_counts[dst0_i])
-                                    futs = (thr_pool.submit_read(dst0_i,
-                                                                 s1),
-                                            thr_pool.submit_read(dst0_i,
-                                                                 s2))
-                                effs.append(("thr", title, s1, s2, srcv,
-                                             dst0_i, futs))
+                                if thr_batch is not None:
+                                    # sequences only needed for the
+                                    # .aln row; counting mode skips the
+                                    # decode entirely
+                                    s1 = s2 = None
+                                    if cfg.aln:
+                                        s1 = _decode(codes[2 * i],
+                                                     rlen[2 * i])
+                                        s2 = _decode(codes[2 * i + 1],
+                                                     rlen[2 * i + 1])
+                                    effs.append((
+                                        "thrb", title, s1, s2, srcv,
+                                        dst0_i, thr_batch[0],
+                                        thr_batch[1][i]))
+                                else:
+                                    s1 = _decode(codes[2 * i],
+                                                 rlen[2 * i])
+                                    s2 = _decode(codes[2 * i + 1],
+                                                 rlen[2 * i + 1])
+                                    futs = None
+                                    if thr_pool is not None:
+                                        self.host._nthr.prepare(
+                                            dst0_i,
+                                            self.host.g.graphs[dst0_i],
+                                            self.host.g.tr_counts[
+                                                dst0_i])
+                                        futs = (thr_pool.submit_read(
+                                                    dst0_i, s1),
+                                                thr_pool.submit_read(
+                                                    dst0_i, s2))
+                                    effs.append(("thr", title, s1, s2,
+                                                 srcv, dst0_i, futs))
                             elif cfg.aln:
                                 effs.append(("aln", self._thread_aln_row(
                                     ko, i, codes, rlen, titles,
@@ -854,6 +946,9 @@ class DeviceAlignRunner:
             drain_ladder()
             ref_flush()
             self.host.flush_batch()
+            # batched threading counts live in native CountMaps until a
+            # boundary; the final outputs read the Python dicts
+            self._drain_native_counts()
         finally:
             # abandoning mid-file (exception above) must not leak the
             # reader's FILE* / prefetch producer thread, and any deferred
@@ -861,6 +956,8 @@ class DeviceAlignRunner:
             # graceful abort keeps the newest durable state; a hard kill
             # resumes from the previously completed file)
             reader.close()
+            if thr_batch_pool is not None:
+                thr_batch_pool.shutdown(wait=True)
             if thr_pool is not None:
                 thr_pool.close()
             if checkpoint:
@@ -949,7 +1046,20 @@ class DeviceAlignRunner:
         self._ckpt_fut = self._ckpt_pool.submit(
             self._ckpt_write, path, cursor, snap, hsnap, ex)
 
+    def _drain_native_counts(self):
+        """Merge deferred batched-threading counts (native CountMaps)
+        into the per-locus Python dicts.  Called at checkpoint-snapshot
+        and finalize boundaries — both run after drain_ladder, so every
+        merged count belongs to a pair at or before the cursor (adds
+        commute; a resume replays only pairs past the snapshot)."""
+        nthr = getattr(self.host, "_nthr", None)
+        trc = getattr(self.host.g, "tr_counts", None)
+        if nthr is not None and trc is not None \
+                and hasattr(nthr, "drain_counts_into"):
+            nthr.drain_counts_into(trc)
+
     def _host_snapshot(self):
+        self._drain_native_counts()
         return dict(host_counts=self.host.flat_counts().copy(),
                     host_nmapread=self.host.nmapread.copy(),
                     host_kmc=self.host.kmc.copy(),
@@ -1006,7 +1116,10 @@ class DeviceAlignRunner:
         # okam/-bu mode mismatch must be diagnosed BEFORE any side-state
         # restore (a counting-mode resume would otherwise trip on the
         # kam sink binding instead of the real configuration error)
-        for key, cur, what in (("cfg_okam", int(self.cfg.okam),
+        # compare the EFFECTIVE okam (threading never writes .kam, so
+        # the save path records 0 there regardless of the raw flag)
+        eff_okam = int(self.cfg.okam and not self.cfg.threading)
+        for key, cur, what in (("cfg_okam", eff_okam,
                                 "okam (.kam output)"),
                                ("cfg_bub", int(self.cfg.output_bubbles),
                                 "output_bubbles (-bu)")):

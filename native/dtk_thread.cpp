@@ -11,10 +11,23 @@
 //   dtk_thread_read         : run isThreadFeasible on one read; returns
 //                             status and fills cigar/annot strings + the
 //                             corrected k-mer stream
+//   dtk_thread_pairs        : BATCH entry — walk every fallback pair of
+//                             a device step in one call (internal worker
+//                             threads), count corrected k-mers into
+//                             per-locus CountMaps, and emit ready RLE
+//                             cigar/annot strings.  Removes the
+//                             per-pair ctypes + Python list/dict costs
+//                             that capped threading-mode e2e.
+//   dtk_counts_new/size/drain/free : deferred per-locus count maps,
+//                             drained into the Python tr_counts at
+//                             checkpoint/finalize boundaries (adds
+//                             commute, so batching order is free).
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -834,9 +847,178 @@ int is_thread_feasible(const Graph& g, const string& seq,
     return 0;
 }
 
+// ---- RLE writers: exact mirrors of engine/threading.write_cigar /
+// write_annot (themselves transliterations of the reference's
+// writeCigar/writeAnnot, aQueryFasta_thread.cpp:1701-1740, including
+// the trailing-element quirks). es entries here are (et, eg) pairs as
+// the Cigar struct holds them; eg==0 renders '*' like the packed
+// serialization in dtk_thread_read.
+void rle_cigar(const vector<char>& et, const vector<char>& eg,
+               string& out) {
+    size_t n = et.size();
+    out.clear();
+    if (!n) { out = "*"; return; }
+    auto gch = [&](size_t i) { return eg[i] ? eg[i] : '*'; };
+    size_t i0 = 0, i = 1;
+    uint64_t ct = 1;
+    while (i < n) {
+        char t0 = et[i0];
+        if (t0 == '=' || t0 == '.' || t0 == '*') {
+            while (et[i] == t0) {
+                ++ct; ++i;
+                if (i == n) break;
+            }
+            out += std::to_string(ct); out += t0;
+        } else if (t0 == 'X') {
+            out += 'X'; out += gch(i0);
+        } else if (t0 == 'D') {
+            if (et[i] == 'I') { out += 'X'; out += gch(i0); ++i; }
+            else              { out += 'D'; out += gch(i0); }
+        } else if (t0 == 'I') {
+            if (et[i] == 'D') { out += 'X'; out += gch(i); ++i; }
+            else              { out += 'I'; }
+        } else {
+            out += t0;
+        }
+        if (i == n) return;
+        ct = 1; i0 = i; ++i;
+    }
+    out += std::to_string(ct); out += et[i0];
+}
+
+void rle_annot(const vector<char>& tr, string& out) {
+    out.clear();
+    if (tr.empty()) { out = "*"; return; }
+    size_t n = tr.size(), i = 1;
+    uint64_t ct = 1;
+    char c0 = tr[0];
+    while (i < n) {
+        if (c0 == '=' || c0 == '.' || c0 == '*') {
+            while (i < n && tr[i] == c0) { ++ct; ++i; }
+            out += std::to_string(ct); out += c0;
+            if (i == n) return;
+        } else {
+            out += c0;
+        }
+        ct = 1; c0 = tr[i]; ++i;
+    }
+    out += std::to_string(ct); out += c0;
+}
+
+typedef std::unordered_map<uint64_t, uint64_t> CountMap;
+
 }  // namespace
 
 extern "C" {
+
+// ---- deferred count maps (per locus) ----
+void* dtk_counts_new() { return new CountMap(); }
+void dtk_counts_free(void* p) { delete (CountMap*)p; }
+int64_t dtk_counts_size(void* p) {
+    return (int64_t)((CountMap*)p)->size();
+}
+// Dump (key, count) pairs and clear the map; caller sizes the buffers
+// from dtk_counts_size.
+void dtk_counts_drain(void* p, uint64_t* keys, uint64_t* vals) {
+    CountMap* m = (CountMap*)p;
+    int64_t i = 0;
+    for (auto& kv : *m) { keys[i] = kv.first; vals[i] = kv.second; ++i; }
+    m->clear();
+}
+
+// Batched threading fallback: npairs pairs, codes as (2*npairs, stride)
+// u8 rows of 2-bit base codes (255 = non-ACGT), per-pair graph/trK/count
+// handles.  Walks fan over `nworkers` internal threads (the graph maps
+// are read-only during the walk).  Corrected-k-mer counts of aligned
+// mates accumulate into cnts[i] (only keys present in trks[i], matching
+// host_align._thread_pair's `if km in trc`).  With want_aln, cg_out row
+// 2*i+m receives "<cigar>\t<annot>" (RLE strings, length in cg_lens).
+// Returns the number of aligned mates.
+int64_t dtk_thread_pairs(void** graphs, void** trks, void** cnts,
+                         const uint8_t* codes, const int32_t* rlens,
+                         int64_t npairs, int64_t stride,
+                         uint64_t thread_cth, int correction,
+                         uint64_t ksize, int maxncorrection,
+                         int nworkers, int want_aln,
+                         uint8_t* status_out,
+                         char* cg_out, int64_t cg_stride,
+                         int64_t* cg_lens) {
+    if (npairs <= 0) return 0;
+    int nw = nworkers < 1 ? 1 : nworkers;
+    if (nw > npairs) nw = (int)npairs;
+    struct Ev { int64_t pi; uint64_t ca; };
+    vector<vector<Ev>> evs(nw);
+    std::atomic<int64_t> next{0};
+    std::atomic<int64_t> naln{0};
+
+    auto work = [&](int w) {
+        string s;
+        vector<uint64_t> kmers;
+        string cig, ann;
+        int64_t local_aln = 0;
+        for (;;) {
+            int64_t i = next.fetch_add(1);
+            if (i >= npairs) break;
+            Graph* g = (Graph*)graphs[i];
+            Graph* trK = (Graph*)trks[i];
+            for (int m = 0; m < 2; ++m) {
+                int64_t r = 2 * i + m;
+                const uint8_t* row = codes + r * stride;
+                int32_t L = rlens[r];
+                s.assign(L, 'N');
+                for (int32_t j = 0; j < L; ++j) {
+                    uint8_t c = row[j];
+                    if (c < 4) s[j] = ALPHA[c];
+                }
+                Cigar cg;
+                cg.init(s, ksize);
+                int st = is_thread_feasible(*g, s, thread_cth,
+                                            correction != 0, cg, *trK,
+                                            ksize, maxncorrection, kmers);
+                status_out[r] = (uint8_t)st;
+                if (st) {
+                    ++local_aln;
+                    for (uint64_t km : kmers)
+                        if (km != NAN64)
+                            evs[w].push_back({i, to_ca(km, ksize)});
+                }
+                if (want_aln) {
+                    rle_cigar(cg.et, cg.eg, cig);
+                    rle_annot(cg.tr, ann);
+                    int64_t need = (int64_t)(cig.size() + 1 + ann.size());
+                    char* dst = cg_out + r * cg_stride;
+                    if (need > cg_stride) need = cg_stride;  // never overrun
+                    int64_t nc = std::min<int64_t>(cig.size(), need);
+                    memcpy(dst, cig.data(), nc);
+                    if (nc < need) dst[nc] = '\t';
+                    int64_t na = need - nc - 1;
+                    if (na > 0) memcpy(dst + nc + 1, ann.data(), na);
+                    cg_lens[r] = need;
+                }
+            }
+        }
+        naln.fetch_add(local_aln);
+    };
+
+    if (nw == 1) {
+        work(0);
+    } else {
+        vector<std::thread> ths;
+        ths.reserve(nw);
+        for (int w = 0; w < nw; ++w) ths.emplace_back(work, w);
+        for (auto& t : ths) t.join();
+    }
+
+    // single-threaded merge: counts are commutative adds; membership in
+    // trK gates the increment exactly like the per-pair path
+    for (auto& ve : evs) {
+        for (auto& e : ve) {
+            Graph* trK = (Graph*)trks[e.pi];
+            if (trK->count(e.ca)) ++(*(CountMap*)cnts[e.pi])[e.ca];
+        }
+    }
+    return naln.load();
+}
 
 void* dtk_graph_new() { return new Graph(); }
 

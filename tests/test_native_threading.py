@@ -53,3 +53,47 @@ def test_native_threading_retry_ladder(golden_dir, tmp_path):
         golden_dir, "out.thread.aln")
     assert (tmp_path / "out.tr.kmers").read_bytes() == _gold(
         golden_dir, "out.thread.tr.kmers")
+
+
+def test_native_threading_checkpoint_resume(golden_dir, tmp_path):
+    """Crash-resume a threading-mode run with the BATCHED fallback
+    (dtk_thread_pairs): counts deferred in native CountMaps must drain
+    at the checkpoint snapshot, so a resume from the mid-run checkpoint
+    neither loses nor double-counts fallback k-mers — .tr.kmers (and
+    .aln re-serialization) byte-identical to the goldens."""
+    import shutil
+
+    reads = os.path.join(golden_dir, "reads.sim.fa")
+    ck = str(tmp_path / "thr.ckpt")
+    cfg = AlignConfig(ksize=21, cth=20, n_filter=4, nm_filter=1,
+                      simmode=2, threading=True, thread_cth=50,
+                      maxncorrection=3, aln=False)
+    r1 = DeviceAlignRunner(RPGG(os.path.join(golden_dir, "pan")), cfg,
+                           batch_pairs=128, max_read_len=192)
+    mid = {}
+    orig_write = r1._ckpt_write
+
+    def hook(path, cursor, state, hsnap, extra):
+        orig_write(path, cursor, state, hsnap, extra)
+        if not mid:                      # keep the FIRST (mid-run) save
+            shutil.copy(path, path + ".mid")
+            mid["cursor"] = cursor
+
+    r1._ckpt_write = hook
+    r1.run_file_native(reads, checkpoint=ck, checkpoint_every=256,
+                       prefilter=True)
+    assert r1.n_host_thread > 0, "no fallback pairs batched"
+    r1.write_tr_kmers(tmp_path / "a.tr.kmers")
+    assert (tmp_path / "a.tr.kmers").read_bytes() == _gold(
+        golden_dir, "out.thread.tr.kmers")
+
+    assert mid, "no mid-run checkpoint was captured"
+    assert mid["cursor"] > 0
+    shutil.copy(ck + ".mid", ck)
+    r2 = DeviceAlignRunner(RPGG(os.path.join(golden_dir, "pan")), cfg,
+                           batch_pairs=128, max_read_len=192)
+    r2.run_file_native(reads, checkpoint=ck, checkpoint_every=256,
+                       prefilter=True)
+    r2.write_tr_kmers(tmp_path / "b.tr.kmers")
+    assert (tmp_path / "b.tr.kmers").read_bytes() == _gold(
+        golden_dir, "out.thread.tr.kmers")
