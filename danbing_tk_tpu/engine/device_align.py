@@ -498,6 +498,11 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
     # at E=512 unsplit on the bench panel (byte-exact; PERF.md);
     # DTK_SPLIT_EXPAND=0 restores the unsplit layout.
     SPLIT = os.environ.get("DTK_SPLIT_EXPAND", "1") == "1"
+    # DTK_VOTE_EQ=1: sort-free event-space voting — per-locus totals via
+    # one batched equality-matmul (MXU) + fused masked reduces instead
+    # of the (locus, -nm) lax.sort.  Decision-identical (tested); see
+    # the vote block below for the trade.
+    VOTE_EQ = os.environ.get("DTK_VOTE_EQ", "0") == "1"
 
     # Tables can be passed to the jitted step as ARGUMENTS (a pytree of
     # device arrays, DTK_TABLE_ARGS=1) rather than closure captures:
@@ -771,90 +776,159 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
             EV = E
         ev_idx = jnp.broadcast_to(
             jnp.arange(EV, dtype=jnp.int32)[None, :], (P, EV))
-        # per-(pair, locus) totals: in-row sort + prefix-sum differences at
-        # segment starts (scatter-free).  Secondary key -nmapped puts each
-        # locus segment's max-nmapped slot FIRST (its last event in the
-        # reference's nmapped-ascending scan, needed for the tie-break);
-        # g_src tracks the event slot for the scatter back.
-        # payload packing: f/r (< 2^8) and the slot id ride one i32
-        # through the sort — 3 arrays instead of 5 moves 40% less
-        # payload through lax.sort's passes.  Keys (locus, -nm) stay
-        # exact, so the scan-order semantics are untouched.
-        IDXB = max(EV - 1, 1).bit_length()
-        assert 16 + IDXB <= 31, ("event width too large to pack", EV)
-        e_pk = (ev_f << (8 + IDXB)) | (ev_r << IDXB) | ev_idx
-        g_loc, g_negnm, g_pk = jax.lax.sort(
-            (ev_locus, -ev_nm_mask, e_pk), dimension=-1, num_keys=2)
-        g_f = g_pk >> (8 + IDXB)
-        g_r = (g_pk >> IDXB) & 0xFF
-        g_src = g_pk & ((1 << IDXB) - 1)
-        g_nm = -g_negnm
-        g_valid = g_loc != NAN32
-        segnew = g_valid & jnp.concatenate(
-            [jnp.ones((P, 1), bool), g_loc[:, 1:] != g_loc[:, :-1]], axis=1)
-        # per-segment totals = prefix-sum difference between this segment
-        # start and the next.  The next-start prefix value is a reverse
-        # cumulative min over (segnew ? prefix : +inf) — prefix sums are
-        # non-decreasing, so the nearest later segment start is the min.
-        # O(P*E) scans instead of a one-hot gather over E+1.
-        gcf = jnp.concatenate([jnp.zeros((P, 1), jnp.int32),
-                               jnp.cumsum(g_f, axis=-1)], axis=-1)
-        gcr = jnp.concatenate([jnp.zeros((P, 1), jnp.int32),
-                               jnp.cumsum(g_r, axis=-1)], axis=-1)
-        BIG = jnp.int32(0x7FFFFFFF)
-        segnew_pad = jnp.concatenate(
-            [segnew, jnp.ones((P, 1), bool)], axis=1)  # sentinel at E
-        mcf = jnp.where(segnew_pad, gcf, BIG)
-        mcr = jnp.where(segnew_pad, gcr, BIG)
-        gcf_end = jax.lax.associative_scan(
-            jnp.minimum, mcf, axis=1, reverse=True)[:, 1:]
-        gcr_end = jax.lax.associative_scan(
-            jnp.minimum, mcr, axis=1, reverse=True)[:, 1:]
-        seg_f = jnp.where(segnew, gcf_end - gcf[:, :-1], 0)
-        seg_r = jnp.where(segnew, gcr_end - gcr[:, :-1], 0)
+        # ---- per-(pair, locus) totals + tie machinery ----
+        # Two interchangeable implementations (byte-identical decisions):
+        #   sort path (default): in-row lax.sort by (locus, -nmapped) +
+        #     prefix-sum differences at segment starts.
+        #   event-space path (DTK_VOTE_EQ=1, VERDICT r4 item #5): no
+        #     sort — per-event locus totals ride ONE batched bf16
+        #     equality-matmul on the MXU (operands <= NKW < 256 are
+        #     bf16-exact; f32 accumulation), and the per-locus max-nm /
+        #     representative-event reductions are fused masked reduces
+        #     over the same (EV, EV) equality plane.  Trades the sort's
+        #     O(EV log^2 EV) compare-swap passes for one materialized
+        #     (P, EV, EV) bf16 operand + VPU reduces.
+        if VOTE_EQ:
+            ev_valid = ev_locus != NAN32
+            eqm = (ev_locus[:, :, None] == ev_locus[:, None, :]) \
+                & ev_valid[:, :, None] & ev_valid[:, None, :]
+            rhs = jnp.stack(
+                [ev_f.astype(jnp.bfloat16), ev_r.astype(jnp.bfloat16)],
+                axis=-1)                               # (P, EV, 2)
+            sums = jax.lax.dot_general(
+                eqm.astype(jnp.bfloat16), rhs,
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)    # (P, EV, 2)
+            tot_f = sums[..., 0].astype(jnp.int32)
+            tot_r = sums[..., 1].astype(jnp.int32)
+            # representative event = first occurrence of its locus
+            first_idx = jnp.min(
+                jnp.where(eqm, ev_idx[:, None, :], jnp.int32(EV)),
+                axis=2)
+            rep = ev_valid & (first_idx == ev_idx)
+            # per-locus max nmapped (what the -nm secondary key gave the
+            # sort path's segment leaders)
+            nm_max = jnp.max(
+                jnp.where(eqm, ev_nm_mask[:, None, :], 0), axis=2)
 
-        seg_tot = jnp.where(segnew, seg_f + seg_r, -1)
-        top_tot = jnp.max(seg_tot, axis=-1)
-        is_top = segnew & (seg_tot == top_tot[:, None])
-        n_top = jnp.sum(is_top, axis=-1)
-        top_seg = _first_true_idx(is_top)
-        top_loc = _take_rows(g_loc, top_seg)
-        top_f = _take_rows(seg_f, top_seg)
-        top_r = _take_rows(seg_r, top_seg)
-        has_entries = segnew.any(axis=-1)
+            ev_tot = tot_f + tot_r
+            top_tot = jnp.max(jnp.where(ev_valid, ev_tot, -1), axis=-1)
+            is_top_ev = ev_valid & (ev_tot == top_tot[:, None])
+            has_entries = ev_valid.any(axis=-1)
+            n_top = jnp.sum(rep & is_top_ev, axis=-1)
+            # sort path takes the FIRST top segment in locus-ascending
+            # order == the smallest tied locus
+            top_loc = jnp.min(
+                jnp.where(is_top_ev, ev_locus, NAN32), axis=-1)
+            sel_top = ev_valid & (ev_locus == top_loc[:, None])
+            top_f = jnp.max(jnp.where(sel_top, tot_f, 0), axis=-1)
+            top_r = jnp.max(jnp.where(sel_top, tot_r, 0), axis=-1)
+            tie = (n_top > 1) & has_entries
 
-        tie = (n_top > 1) & has_entries
+            BIGI = jnp.int32(0x7FFFFFF0)
+            m_lvl = jnp.min(
+                jnp.where(rep & is_top_ev, nm_max, BIGI), axis=-1,
+                keepdims=True)                         # (P, 1)
+            cand_rep = rep & is_top_ev & (nm_max == m_lvl)
+            nC = jnp.sum(cand_rep, axis=-1)
+            winner1 = jnp.min(
+                jnp.where(cand_rep, ev_locus, NAN32), axis=-1)
+            # candidate events at their locus' max level m — direct in
+            # event space (the sort path needs a scatter back via g_src)
+            e_cand = is_top_ev & (nm_max == m_lvl) \
+                & (ev_nm_mask == m_lvl)
+        else:
+            # per-(pair, locus) totals: in-row sort + prefix-sum
+            # differences at segment starts (scatter-free).  Secondary
+            # key -nmapped puts each locus segment's max-nmapped slot
+            # FIRST (its last event in the reference's nmapped-ascending
+            # scan, needed for the tie-break); g_src tracks the event
+            # slot for the scatter back.
+            # payload packing: f/r (< 2^8) and the slot id ride one i32
+            # through the sort — 3 arrays instead of 5 moves 40% less
+            # payload through lax.sort's passes.  Keys (locus, -nm) stay
+            # exact, so the scan-order semantics are untouched.
+            IDXB = max(EV - 1, 1).bit_length()
+            assert 16 + IDXB <= 31, ("event width too large to pack", EV)
+            e_pk = (ev_f << (8 + IDXB)) | (ev_r << IDXB) | ev_idx
+            g_loc, g_negnm, g_pk = jax.lax.sort(
+                (ev_locus, -ev_nm_mask, e_pk), dimension=-1, num_keys=2)
+            g_f = g_pk >> (8 + IDXB)
+            g_r = (g_pk >> IDXB) & 0xFF
+            g_src = g_pk & ((1 << IDXB) - 1)
+            g_nm = -g_negnm
+            g_valid = g_loc != NAN32
+            segnew = g_valid & jnp.concatenate(
+                [jnp.ones((P, 1), bool),
+                 (g_loc[:, 1:] != g_loc[:, :-1])], axis=1)
+            # per-segment totals = prefix-sum difference between this
+            # segment start and the next.  The next-start prefix value is
+            # a reverse cumulative min over (segnew ? prefix : +inf) —
+            # prefix sums are non-decreasing, so the nearest later
+            # segment start is the min.  O(P*E) scans instead of a
+            # one-hot gather over E+1.
+            gcf = jnp.concatenate([jnp.zeros((P, 1), jnp.int32),
+                                   jnp.cumsum(g_f, axis=-1)], axis=-1)
+            gcr = jnp.concatenate([jnp.zeros((P, 1), jnp.int32),
+                                   jnp.cumsum(g_r, axis=-1)], axis=-1)
+            BIG = jnp.int32(0x7FFFFFFF)
+            segnew_pad = jnp.concatenate(
+                [segnew, jnp.ones((P, 1), bool)], axis=1)  # sentinel at E
+            mcf = jnp.where(segnew_pad, gcf, BIG)
+            mcr = jnp.where(segnew_pad, gcr, BIG)
+            gcf_end = jax.lax.associative_scan(
+                jnp.minimum, mcf, axis=1, reverse=True)[:, 1:]
+            gcr_end = jax.lax.associative_scan(
+                jnp.minimum, mcr, axis=1, reverse=True)[:, 1:]
+            seg_f = jnp.where(segnew, gcf_end - gcf[:, :-1], 0)
+            seg_r = jnp.where(segnew, gcr_end - gcr[:, :-1], 0)
 
-        # ---- scan-order tie resolution (updatetop2 semantics) ----
-        # The reference's winner among full-total-tied loci is the FIRST
-        # to reach the max during the nmapped-ascending entry scan
-        # (updatetop2, aQueryFasta_thread.cpp:331-347) == the tied locus
-        # whose LAST contributing entry is earliest in scan order.  Scan
-        # order is (nmappedloci asc, libstdc++-introsort tie order among
-        # equal nmapped, vv position).  The introsort tie order is host
-        # territory, but most ties are invariant to it:
-        #   * the tied locus with the strictly smallest max-nmapped wins
-        #     outright (all its events precede the others' last events);
-        #   * when several tied loci share the same max-nmapped level m,
-        #     the winner is decided iff every m-level run containing a
-        #     candidate contains ALL candidates (identical run sets) with
-        #     a consistent first-candidate (vv order) across those runs.
-        # Anything else (plus expansion overflow and the test2 boundary,
-        # whose partial catch-up sums are path-dependent) still referees.
-        BIGI = jnp.int32(0x7FFFFFF0)
-        seg_nm = jnp.where(segnew, g_nm, 0)       # max nm leads each seg
-        m_lvl = jnp.min(jnp.where(is_top, seg_nm, BIGI), axis=-1,
-                        keepdims=True)            # (P,1)
-        cand_seg = is_top & (seg_nm == m_lvl)
-        nC = jnp.sum(cand_seg, axis=-1)           # (P,)
-        winner1 = jnp.min(
-            jnp.where(cand_seg, g_loc, NAN32), axis=-1)
+            seg_tot = jnp.where(segnew, seg_f + seg_r, -1)
+            top_tot = jnp.max(seg_tot, axis=-1)
+            is_top = segnew & (seg_tot == top_tot[:, None])
+            n_top = jnp.sum(is_top, axis=-1)
+            top_seg = _first_true_idx(is_top)
+            top_loc = _take_rows(g_loc, top_seg)
+            top_f = _take_rows(seg_f, top_seg)
+            top_r = _take_rows(seg_r, top_seg)
+            has_entries = segnew.any(axis=-1)
 
-        # slots of candidate loci at their max level m: broadcast the
-        # candidate flag across each segment, mark nm == m slots
-        g_cand = (_seg_bcast(cand_seg, segnew, False)
-                  & (g_nm == m_lvl) & g_valid)
-        e_cand = _oh_scatter_bool(g_cand, g_src, EV)
+            tie = (n_top > 1) & has_entries
+
+            # ---- scan-order tie resolution (updatetop2 semantics) ----
+            # The reference's winner among full-total-tied loci is the
+            # FIRST to reach the max during the nmapped-ascending entry
+            # scan (updatetop2, aQueryFasta_thread.cpp:331-347) == the
+            # tied locus whose LAST contributing entry is earliest in
+            # scan order.  Scan order is (nmappedloci asc,
+            # libstdc++-introsort tie order among equal nmapped, vv
+            # position).  The introsort tie order is host territory, but
+            # most ties are invariant to it:
+            #   * the tied locus with the strictly smallest max-nmapped
+            #     wins outright (all its events precede the others' last
+            #     events);
+            #   * when several tied loci share the same max-nmapped
+            #     level m, the winner is decided iff every m-level run
+            #     containing a candidate contains ALL candidates
+            #     (identical run sets) with a consistent first-candidate
+            #     (vv order) across those runs.
+            # Anything else (plus expansion overflow and the test2
+            # boundary, whose partial catch-up sums are path-dependent)
+            # still referees.
+            BIGI = jnp.int32(0x7FFFFFF0)
+            seg_nm = jnp.where(segnew, g_nm, 0)   # max nm leads each seg
+            m_lvl = jnp.min(jnp.where(is_top, seg_nm, BIGI), axis=-1,
+                            keepdims=True)            # (P,1)
+            cand_seg = is_top & (seg_nm == m_lvl)
+            nC = jnp.sum(cand_seg, axis=-1)           # (P,)
+            winner1 = jnp.min(
+                jnp.where(cand_seg, g_loc, NAN32), axis=-1)
+
+            # slots of candidate loci at their max level m: broadcast
+            # the candidate flag across each segment, mark nm == m slots
+            g_cand = (_seg_bcast(cand_seg, segnew, False)
+                      & (g_nm == m_lvl) & g_valid)
+            e_cand = _oh_scatter_bool(g_cand, g_src, EV)
         # per-run candidate census via prefix sums over event slots
         # (under SPLIT every W-plane even event is its own 1-slot run)
         ccum = jnp.concatenate(
@@ -874,11 +948,18 @@ def make_step(drp: DeviceRPGG, cfg: AlignConfig, P: int, L: int,
         win_loc = jnp.where(nC == 1, winner1, floc_min)
 
         # winner's own fwd/rev split feeds the accept tests
-        wseg = _first_true_idx(segnew & (g_loc == win_loc[:, None]))
         use_win = tie & tie_res
+        if VOTE_EQ:
+            wsel = ev_valid & (ev_locus == win_loc[:, None])
+            win_f = jnp.max(jnp.where(wsel, tot_f, 0), axis=-1)
+            win_r = jnp.max(jnp.where(wsel, tot_r, 0), axis=-1)
+        else:
+            wseg = _first_true_idx(segnew & (g_loc == win_loc[:, None]))
+            win_f = _take_rows(seg_f, wseg)
+            win_r = _take_rows(seg_r, wseg)
         top_loc = jnp.where(use_win, win_loc, top_loc)
-        top_f = jnp.where(use_win, _take_rows(seg_f, wseg), top_f)
-        top_r = jnp.where(use_win, _take_rows(seg_r, wseg), top_r)
+        top_f = jnp.where(use_win, win_f, top_f)
+        top_r = jnp.where(use_win, win_r, top_r)
 
         test1 = (top_f >= cth) & (top_r >= cth)
         test2 = (top_f + top_r) >= 2 * cth
