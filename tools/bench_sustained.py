@@ -36,6 +36,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 os.environ.setdefault("DTK_TABLE_ARGS", "1")
+os.environ.setdefault("DTK_PREFILTER_MULT", "16")
 
 ROOT = os.path.join(os.path.dirname(__file__), "..")
 
