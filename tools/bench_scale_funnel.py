@@ -166,8 +166,13 @@ def main():
             print(f"# steady: soft deadline reached after {len(walls)} "
                   f"pass(es)", file=sys.stderr, flush=True)
             break
-    wall2 = sorted(walls)[len(walls) // 2]
-    spread = (max(walls) - min(walls)) / wall2
+    # the pass right after the cold pass still carries settling cost
+    # (program residency / page cache); with >=4 passes measured, drop
+    # it from the statistic (rehearsal r05: walls [10.6, 9.2, 8.6, 9.2,
+    # 8.6] — the first is a one-off and tripped the contaminated flag)
+    stat = walls[1:] if len(walls) >= 4 else walls
+    wall2 = sorted(stat)[len(stat) // 2]
+    spread = (max(stat) - min(stat)) / wall2
     rps2 = report("steady", al2, wall2)
     print(f"# steady walls: {[round(w, 1) for w in walls]} "
           f"(median {wall2:.1f}s, spread {100*spread:.1f}%)",
