@@ -15,7 +15,7 @@ version is a thin orchestrator that never touches the TPU itself:
   * metrics run cheapest-first: PRIMARY toy-panel funnel, then the
     115M-key scale funnel, then the real-motif panel (the most
     compile-hungry) last;
-  * a global wall-clock budget (DTK_BENCH_BUDGET, default 1100 s) is
+  * a global wall-clock budget (DTK_BENCH_BUDGET, default 1000 s) is
     split across metrics; a metric that does not fit is SKIPPED with a
     loud stderr note, never allowed to kill the run;
   * the PRIMARY metric line is re-emitted as the very last stdout line
@@ -49,7 +49,7 @@ import time
 ROOT = os.path.dirname(os.path.abspath(__file__))
 
 T0 = time.time()
-BUDGET = float(os.environ.get("DTK_BENCH_BUDGET", 1100))
+BUDGET = float(os.environ.get("DTK_BENCH_BUDGET", 1000))
 
 
 def remaining():
